@@ -1,0 +1,278 @@
+"""Heuristic-layout extraction — fixed-width / PDF-ish column layouts.
+
+The text-domain analog of the reference's ML_SINGLE_COLUMN_TABLE branch
+(main.py:124-181): no explicit rulings exist, so structure is *inferred*
+from content geometry.
+
+Pipeline stage mapping:
+
+* running header/footer removal ≈ ``GaussianAdaptiveThresholder`` /
+  ``OtsuThresholder`` content-vs-background classification
+  (preprocessors.py:313-481): a line repeated across ≥ ``page_repeat_ratio``
+  of pages is background (boilerplate), not content.
+* token boxes ≈ ``ContourLinesDetector._find_solid_boxes``
+  (detectors.py:593-619): non-space runs per line with the
+  ``min_token_len <= len <= max_token_len`` size filter
+  (the solid-height-limit filter, detectors.py:614-618).
+* token fusion ≈ ``Dilate`` (preprocessors.py:515-579): adjacent tokens
+  separated by ≤ ``fuse_token_gap`` spaces fuse into one box.
+* whitespace-column voting ≈ ``ProbabilisticHoughLinesDetector``
+  (detectors.py:374-449): a char column is voted a vertical separator when
+  it is whitespace in ≥ ``sep_threshold`` of region lines, accepted only
+  when the run is ≥ ``min_gap_width`` wide — the vectorized-numpy version
+  of Hough vote accumulation over edge pixels.
+* separator dedupe/sentinels ≈ ``_filter_overlapping_lines`` +
+  ``_get_border_lines`` (detectors.py:258-329): region edges close the
+  outermost cells.
+* grid slicing ≈ ``TableCellDetector`` interval pairing + rows×cols slice
+  loop (detectors.py:979-1082) with empty-cell skip (detectors.py:1076-1079)
+  folded into the min_columns row filter.
+
+All numpy-vectorized per payload; pure functions of (payload, config).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import numpy as np
+
+from table_ocr_spark.config import ExtractorConfig
+
+Span = Tuple[int, int, int, int]  # (row, col, start, end)
+
+_TOKEN_RE = re.compile(r"\S+")
+_MULTI_GAP_RE = re.compile(r"\S(?:  +)\S")
+
+
+def strip_running_lines(pages: List[List[str]], cfg: ExtractorConfig) -> List[List[str]]:
+    """Remove running headers/footers repeated across pages.
+
+    A stripped line that occurs as the first (or last) non-empty line of at
+    least ``page_repeat_ratio`` of pages — given ≥ ``page_header_min_pages``
+    pages — is boilerplate and removed from every page.
+    """
+    if len(pages) < cfg.page_header_min_pages:
+        return pages
+    firsts: dict = {}
+    lasts: dict = {}
+    for page in pages:
+        non_empty = [ln.strip() for ln in page if ln.strip()]
+        if not non_empty:
+            continue
+        firsts[non_empty[0]] = firsts.get(non_empty[0], 0) + 1
+        lasts[non_empty[-1]] = lasts.get(non_empty[-1], 0) + 1
+    cut = max(2, int(np.ceil(cfg.page_repeat_ratio * len(pages))))
+    banned = {ln for ln, c in firsts.items() if c >= cut} | {
+        ln for ln, c in lasts.items() if c >= cut
+    }
+    if not banned:
+        return pages
+    return [[ln for ln in page if ln.strip() not in banned] for page in pages]
+
+
+def token_boxes(line: str, cfg: ExtractorConfig) -> List[Tuple[int, int]]:
+    """Solid boxes of one line: (start_col, end_col) of non-space runs after
+    fusion, size-filtered."""
+    boxes: List[Tuple[int, int]] = []
+    for m in _TOKEN_RE.finditer(line):
+        s, e = m.start(), m.end()
+        if boxes and s - boxes[-1][1] <= cfg.fuse_token_gap:
+            boxes[-1] = (boxes[-1][0], e)  # Dilate fusion
+        else:
+            boxes.append((s, e))
+    return [(s, e) for s, e in boxes if cfg.min_token_len <= e - s <= cfg.max_token_len]
+
+
+def is_table_line(line: str, cfg: ExtractorConfig) -> bool:
+    """A line participates in a fixed-width grid when it has ≥ min_columns
+    fused boxes separated by multi-space gaps."""
+    boxes = token_boxes(line, cfg)
+    return len(boxes) >= cfg.min_columns and bool(_MULTI_GAP_RE.search(line))
+
+
+def find_layout_regions(lines: List[str], cfg: ExtractorConfig) -> List[Tuple[int, int]]:
+    """Maximal runs of table lines (gaps ≤ fuse_line_gap blank/short lines),
+    accepted at ≥ sep_min_run table lines."""
+    flags = [is_table_line(ln, cfg) for ln in lines]
+    regions: List[Tuple[int, int]] = []
+    i, n = 0, len(lines)
+    while i < n:
+        if not flags[i]:
+            i += 1
+            continue
+        start = i
+        last = i
+        gap = 0
+        j = i + 1
+        while j < n:
+            if flags[j]:
+                last = j
+                gap = 0
+            else:
+                gap += 1
+                if gap > cfg.fuse_line_gap:
+                    break
+            j += 1
+        count = sum(1 for k in range(start, last + 1) if flags[k])
+        if count >= cfg.sep_min_run:
+            regions.append((start, last + 1))
+        i = last + 1
+    return regions
+
+
+def vote_column_intervals(region_lines: List[str], cfg: ExtractorConfig) -> List[Tuple[int, int]]:
+    """Hough-style voting for vertical separators over a region.
+
+    Builds the whitespace occupancy matrix, votes a char column as separator
+    when whitespace in ≥ sep_threshold of lines, keeps separator runs
+    ≥ min_gap_width wide, and returns the cell column intervals between
+    them (with sentinel borders at 0 and max width).
+    """
+    table_lines = [ln for ln in region_lines if is_table_line(ln, cfg)]
+    if not table_lines:
+        return []
+    width = max(len(ln) for ln in table_lines)
+    occ = np.zeros((len(table_lines), width), dtype=bool)  # True = non-space
+    for i, ln in enumerate(table_lines):
+        arr = np.frombuffer(ln.ljust(width).encode("utf-8", "replace")[:width], dtype=np.uint8)
+        # non-ascii multi-byte chars inflate the buffer; fall back per-char
+        if len(ln.ljust(width).encode("utf-8")) != width:
+            arr = np.fromiter((0x20 if c == " " else 0x41 for c in ln.ljust(width)), dtype=np.uint8, count=width)
+        occ[i] = arr != 0x20
+    votes = occ.mean(axis=0)  # fraction of lines with content at this column
+    is_sep = votes <= (1.0 - cfg.sep_threshold)
+
+    # separator runs ≥ min_gap_width → gaps; intervals between gaps = columns
+    intervals: List[Tuple[int, int]] = []
+    col_start = 0
+    run_start = None
+    for c in range(width):
+        if is_sep[c]:
+            if run_start is None:
+                run_start = c
+        else:
+            if run_start is not None and c - run_start >= cfg.min_gap_width:
+                if run_start > col_start:
+                    intervals.append((col_start, run_start))
+                col_start = c
+            elif run_start is not None:
+                pass  # too-narrow gap: stays inside the cell
+            run_start = None
+    if col_start < width:
+        intervals.append((col_start, width))
+    return intervals
+
+
+def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]], List[Span]]:
+    """Extract fixed-width grids + cleaned prose. Returns
+    (clean_text, cells, spans); offsets refer to the normalized payload."""
+    # Split on both \n and \f, tracking absolute offsets and page breaks.
+    # A \f separator closes the current page (form-feed page model).
+    all_lines: List[str] = []     # line content
+    all_offs: List[int] = []      # absolute start offset of each line
+    page_of: List[int] = []       # page index per line
+    pos = 0
+    page = 0
+    for m in re.finditer(r"[^\n\f]*", text):
+        if m.start() != pos:
+            continue  # finditer yields an empty match after each separator
+        all_lines.append(m.group(0))
+        all_offs.append(m.start())
+        page_of.append(page)
+        pos = m.end()
+        if pos < len(text):
+            if text[pos] == "\f":
+                page += 1
+            pos += 1
+        else:
+            break
+
+    n_pages = page + 1
+    page_lines: List[List[str]] = [[] for _ in range(n_pages)]
+    for ln, pg in zip(all_lines, page_of):
+        page_lines[pg].append(ln)
+    kept_pages = strip_running_lines(page_lines, cfg)
+
+    # map kept lines back to their global ids (order preserved within a page)
+    lines: List[str] = []
+    line_offs: List[int] = []
+    cursors = [0] * n_pages
+    kept_iters = [list(p) for p in kept_pages]
+    for idx, (ln, pg) in enumerate(zip(all_lines, page_of)):
+        ki = kept_iters[pg]
+        ci = cursors[pg]
+        if ci < len(ki) and ki[ci] == ln:
+            lines.append(ln)
+            line_offs.append(all_offs[idx])
+            cursors[pg] = ci + 1
+
+    regions = find_layout_regions(lines, cfg)
+    in_table = [False] * len(lines)
+    region_of = {}
+    for ri, (a, b) in enumerate(regions):
+        for k in range(a, b):
+            in_table[k] = True
+            region_of[k] = ri
+    region_intervals = [vote_column_intervals(lines[a:b], cfg) for a, b in regions]
+
+    cells: List[List[str]] = []
+    spans: List[Span] = []
+    clean_lines: List[str] = []
+    row_idx = 0
+    for k, ln in enumerate(lines):
+        if not in_table[k] or not is_table_line(ln, cfg):
+            clean_lines.append(ln)
+            continue
+        intervals = region_intervals[region_of[k]]
+        # Assign fused token boxes to voted column intervals by box START
+        # (the `x // cell_threshold` binning idiom, detectors.py:646-651):
+        # a cell owns every box starting inside its interval, so content
+        # overflowing a narrow column is never truncated.
+        boxes = token_boxes(ln, cfg)
+        starts = [a for a, _ in intervals]
+        by_col: dict = {}
+        for bs, be in boxes:
+            ci = 0
+            for ii, a in enumerate(starts):
+                if bs >= a:
+                    ci = ii
+                else:
+                    break
+            by_col.setdefault(ci, []).append((bs, be))
+        row_cells: List[str] = []
+        row_spans: List[Span] = []
+        col_idx = 0
+        for ci in sorted(by_col):
+            col_boxes = by_col[ci]
+            s0, e0 = col_boxes[0][0], col_boxes[-1][1]
+            stripped = re.sub(r"\s+", " ", ln[s0:e0].strip())
+            if not stripped:
+                continue  # empty-ROI skip (detectors.py:1076-1079)
+            s = line_offs[k] + s0
+            row_cells.append(stripped)
+            row_spans.append((row_idx, col_idx, s, line_offs[k] + e0))
+            col_idx += 1
+        if len(row_cells) >= cfg.min_columns:
+            cells.append(row_cells)
+            spans.extend(row_spans)
+            clean_lines.append(" ".join(row_cells))
+            row_idx += 1
+        else:
+            clean_lines.append(ln)
+
+    return "\n".join(clean_lines), cells, spans
+
+
+def looks_like_layout(text: str, cfg: ExtractorConfig) -> bool:
+    """Cheap classifier: form feeds or ≥ sep_min_run multi-gap lines."""
+    if "\f" in text:
+        return True
+    hits = 0
+    for ln in text.split("\n"):
+        if _MULTI_GAP_RE.search(ln):
+            hits += 1
+            if hits >= cfg.sep_min_run:
+                return True
+    return False

@@ -1,0 +1,246 @@
+"""Explicit-markup extraction — HTML pages and markdown pipe tables.
+
+This is the text-domain analog of the reference's ML_FULL_TABLE branch
+(main.py:84-122): explicit table rulings exist in the payload, so structure
+detection is boundary *recognition*, not inference.
+
+* Candidate-boundary scan ≈ ``CannyEdgeDetector`` (detectors.py:94-165):
+  locate markup boundaries (``<tr>``/``<td>``, ``|``, ``---`` rules).
+* Table-region acceptance with ``sep_min_run`` / ``sep_max_gap`` ≈
+  ``ProbabilisticHoughLinesDetector``'s minLineLength / maxLineGap
+  (detectors.py:374-449): a table is "voted in" only when enough consecutive
+  boundary-bearing lines exist, tolerating small gaps.
+* Edge pipes / document edges close the outermost cells ≈
+  ``LineDetector._get_border_lines`` sentinel borders (detectors.py:300-329).
+* Markdown rule lines (``|---|---|``) are horizontal separator lines, not
+  content rows — the horizontal Hough lines of this domain.
+* ``min_columns`` row filter ≈ detectors.py:653-655.
+* ``roi_trim`` cell shrink ≈ ``roi_offset`` (detectors.py:979-1022), with the
+  same degenerate-cell relaxation: when trimming would cross the cell over
+  itself, fall back to the untrimmed bounds (detectors.py:1009-1015).
+
+All functions are pure; offsets refer to the normalized payload.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import List, Tuple
+
+from table_ocr_spark.config import ExtractorConfig
+
+Span = Tuple[int, int, int, int]  # (row, col, start, end)
+
+# ---------------------------------------------------------------- HTML ----
+
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.I | re.S)
+# Boilerplate containers (the adaptive-threshold "background" class):
+# nav/header/footer/aside plus cookie/banner/sidebar/ad divs.
+_BOILER_TAG_RE = re.compile(r"<(nav|header|footer|aside)\b[^>]*>.*?</\1\s*>", re.I | re.S)
+_BOILER_DIV_RE = re.compile(
+    r"<div\b[^>]*(?:class|id)\s*=\s*\"[^\"]*(?:cookie|banner|sidebar|advert|promo)[^\"]*\"[^>]*>.*?</div\s*>",
+    re.I | re.S,
+)
+_TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>", re.I | re.S)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.I | re.S)
+_CELL_RE = re.compile(r"<t[dh]\b[^>]*>(.*?)</t[dh]\s*>", re.I | re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+_HTML_HINT_RE = re.compile(r"<\s*(?:!doctype|html|head|body|div|table|article|p|nav|header|ul|h[1-6])\b", re.I)
+
+
+def looks_like_html(text: str) -> bool:
+    return bool(_HTML_HINT_RE.search(text))
+
+
+def _strip_tags(fragment: str) -> str:
+    """Tags → space, entity-decode, collapse runs. The 'recognizer' of this
+    domain (≈ TesseractOCR per-cell recognition degenerating to cleanup,
+    detectors.py:767-890)."""
+    out = _TAG_RE.sub(" ", fragment)
+    out = _html.unescape(out)
+    out = re.sub(r"\s+", " ", out).strip()
+    return out
+
+
+def _trim_cell(raw: str, start: int, trim: int) -> Tuple[str, int, int]:
+    """roi_trim shrink with degenerate-cell relaxation (detectors.py:1009-15).
+
+    Returns (stripped_text, abs_start, abs_end) where offsets cover the
+    stripped content within the normalized payload.
+    """
+    if trim > 0 and len(raw) > 2 * trim:
+        inner = raw[trim : len(raw) - trim]
+        inner_off = trim
+    else:  # degenerate: trimming would invert the interval — relax to full
+        inner = raw
+        inner_off = 0
+    lead = len(inner) - len(inner.lstrip())
+    stripped = inner.strip()
+    abs_start = start + inner_off + lead
+    return stripped, abs_start, abs_start + len(stripped)
+
+
+def extract_html(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]], List[Span]]:
+    """Extract main content + table grid from an HTML payload.
+
+    Returns (clean_text, cells, spans). ``cells`` concatenates the rows of
+    every table in document order (the reference emits one grid per image,
+    detectors.py:1055; multi-table payloads stack row-wise).
+    """
+    work = _SCRIPT_STYLE_RE.sub(" ", text)
+    work = _BOILER_TAG_RE.sub(" ", work)
+    work = _BOILER_DIV_RE.sub(" ", work)
+
+    cells: List[List[str]] = []
+    spans: List[Span] = []
+    # Spans must reference the ORIGINAL normalized payload, so locate tables
+    # on `text` (boilerplate containers never contain tables in this model;
+    # tables inside removed containers are boilerplate and skipped).
+    removed_ranges = []
+    for pat in (_SCRIPT_STYLE_RE, _BOILER_TAG_RE, _BOILER_DIV_RE):
+        for m in pat.finditer(text):
+            removed_ranges.append((m.start(), m.end()))
+
+    def _in_removed(pos: int) -> bool:
+        return any(a <= pos < b for a, b in removed_ranges)
+
+    row_idx = 0
+    for tm in _TABLE_RE.finditer(text):
+        if _in_removed(tm.start()):
+            continue
+        body, body_off = tm.group(1), tm.start(1)
+        for rm in _TR_RE.finditer(body):
+            row_cells: List[str] = []
+            col_idx = 0
+            for cm in _CELL_RE.finditer(rm.group(1)):
+                raw = cm.group(1)
+                abs_start = body_off + rm.start(1) + cm.start(1)
+                stripped, s, e = _trim_cell(raw, abs_start, cfg.roi_trim)
+                cell_text = _strip_tags(stripped)
+                row_cells.append(cell_text)
+                spans.append((row_idx, col_idx, s, e))
+                col_idx += 1
+            if len(row_cells) >= cfg.min_columns:
+                cells.append(row_cells)
+                row_idx += 1
+            else:
+                # row rejected by min_columns (detectors.py:653-655):
+                # drop its spans too
+                spans = [sp for sp in spans if sp[0] != row_idx]
+
+    clean = _strip_tags(work)
+    return clean, cells, spans
+
+
+# ------------------------------------------------------------ markdown ----
+
+_MD_RULE_CELL_RE = re.compile(r"^\s*:?-{2,}:?\s*$")
+
+
+def _is_md_candidate(line: str) -> bool:
+    return line.count("|") >= 2
+
+
+def _is_md_rule(line: str) -> bool:
+    segs = _split_pipe_row(line)
+    return len(segs) >= 1 and all(_MD_RULE_CELL_RE.match(s or "-") for s, _ in segs) and "-" in line
+
+
+def _split_pipe_row(line: str) -> List[Tuple[str, int]]:
+    """Split a pipe-delimited row → [(segment, start_col)].
+
+    Leading/trailing edge pipes are border lines (sentinel separators,
+    detectors.py:300-329): the segments outside them are empty and dropped.
+    """
+    segs: List[Tuple[str, int]] = []
+    start = 0
+    for i, ch in enumerate(line):
+        if ch == "|":
+            segs.append((line[start:i], start))
+            start = i + 1
+    segs.append((line[start:], start))
+    # drop empty edge segments created by border pipes
+    if segs and segs[0][0].strip() == "":
+        segs = segs[1:]
+    if segs and segs[-1][0].strip() == "":
+        segs = segs[:-1]
+    return segs
+
+
+def find_md_regions(lines: List[str], cfg: ExtractorConfig) -> List[Tuple[int, int]]:
+    """Maximal runs of pipe-bearing lines, tolerating ``sep_max_gap``
+    non-candidate lines inside a run, accepted at ≥ ``sep_min_run`` candidate
+    lines (HoughP threshold/minLineLength/maxLineGap semantics,
+    detectors.py:374-449)."""
+    regions: List[Tuple[int, int]] = []
+    i, n = 0, len(lines)
+    while i < n:
+        if not _is_md_candidate(lines[i]):
+            i += 1
+            continue
+        start = i
+        last_candidate = i
+        gap = 0
+        j = i + 1
+        while j < n:
+            if _is_md_candidate(lines[j]):
+                last_candidate = j
+                gap = 0
+            else:
+                gap += 1
+                if gap > cfg.sep_max_gap:
+                    break
+            j += 1
+        n_candidates = sum(1 for k in range(start, last_candidate + 1) if _is_md_candidate(lines[k]))
+        if n_candidates >= cfg.sep_min_run:
+            regions.append((start, last_candidate + 1))
+        i = last_candidate + 1
+    return regions
+
+
+def extract_markdown(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]], List[Span]]:
+    """Extract markdown pipe tables. Returns (clean_text, cells, spans)."""
+    lines = text.split("\n")
+    # char offset of each line start in the payload
+    offsets: List[int] = []
+    pos = 0
+    for ln in lines:
+        offsets.append(pos)
+        pos += len(ln) + 1
+
+    regions = find_md_regions(lines, cfg)
+    in_table = [False] * len(lines)
+    for a, b in regions:
+        for k in range(a, b):
+            in_table[k] = True
+
+    cells: List[List[str]] = []
+    spans: List[Span] = []
+    clean_lines: List[str] = []
+    row_idx = 0
+    for k, ln in enumerate(lines):
+        if not in_table[k] or not _is_md_candidate(ln):
+            if not in_table[k]:
+                clean_lines.append(ln)
+            else:
+                clean_lines.append(ln)  # gap line inside a region: keep as prose
+            continue
+        if _is_md_rule(ln):
+            continue  # horizontal separator line, not content
+        segs = _split_pipe_row(ln)
+        row_cells: List[str] = []
+        row_spans: List[Span] = []
+        for col_idx, (seg, seg_start) in enumerate(segs):
+            stripped, s, e = _trim_cell(seg, offsets[k] + seg_start, cfg.roi_trim)
+            row_cells.append(stripped)
+            row_spans.append((row_idx, col_idx, s, e))
+        if len(row_cells) >= cfg.min_columns:
+            cells.append(row_cells)
+            spans.extend(row_spans)
+            clean_lines.append(" ".join(c for c in row_cells if c))
+            row_idx += 1
+        else:
+            clean_lines.append(ln)
+
+    return "\n".join(clean_lines), cells, spans
