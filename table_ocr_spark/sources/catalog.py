@@ -1,0 +1,128 @@
+"""Thin catalog abstraction — Iceberg-shaped surface over plain parquet.
+
+The production design reads/writes Iceberg tables
+(``spark.read.table("cat.db.transcripts")`` with a ``bucket(N, conv_id)``
+partition spec, SURVEY.md §2.1/§4.1); this sandbox has no Iceberg runtime
+jar, so the same API is implemented over a parquet layout with an identical
+partition spec plus a lineage/manifest sidecar (SURVEY.md §7 hard-point 3:
+keep the catalog thin so both backends pass the same resume test).
+
+Layout of an extraction table at ``root``:
+
+    root/data/bucket=<k>/part-*.parquet     -- bucket(N, conv_id) spec
+    root/_lineage/*.parquet                 -- commit manifest (FIXTURES.md §4)
+
+The reference analog of the config/lineage sidecar is the SQLite config
+store (ttocr/api/database.py:26-65) + per-run mlflow artifact trail
+(main.py:200-256).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("config_hash", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("turns", T.LongType()),
+        T.StructField("boilerplate_ratio_avg", T.DoubleType()),
+        T.StructField("cell_count", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+    ]
+)
+
+
+def write_transcripts_parquet(pdf, path: str, n_files: int = 8) -> None:
+    """Persist a synthesized pandas transcript frame as a parquet table.
+
+    Rows are written in shuffled order on purpose — correctness must never
+    depend on physical order (FIXTURES.md §1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    if "ts" in shuffled.columns:
+        # Spark rejects TIMESTAMP(NANOS) parquet — write microseconds
+        shuffled["ts"] = shuffled["ts"].astype("datetime64[us, UTC]")
+    table = pa.Table.from_pandas(shuffled, preserve_index=False)
+    os.makedirs(path, exist_ok=True)
+    n = max(1, len(shuffled) // n_files + 1)
+    for i in range(0, len(shuffled), n):
+        pq.write_table(table.slice(i, n), f"{path}/part-{i//n:05d}.parquet")
+
+
+def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Driver-provided TPC-H-ish tables (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+class ExtractionTable:
+    """Output table handle: data + lineage manifest + run-config sidecar."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.lineage_dir = os.path.join(root, "_lineage")
+        self.config_dir = os.path.join(root, "_config")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.data_dir)
+
+    def read_lineage(self, spark: SparkSession) -> Optional[DataFrame]:
+        if not os.path.isdir(self.lineage_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(self.lineage_dir)
+        ):
+            return None
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
+
+    def committed_buckets(self, spark: SparkSession, config_hash: str) -> set:
+        lin = self.read_lineage(spark)
+        if lin is None:
+            return set()
+        rows = (
+            lin.filter((F.col("config_hash") == config_hash) & (F.col("status") == "committed"))
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        return {r.bucket for r in rows}
+
+    def append_lineage(self, spark: SparkSession, rows: list) -> None:
+        df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    def write_config(self, cfg_json: str, config_hash: str) -> None:
+        os.makedirs(self.config_dir, exist_ok=True)
+        with open(os.path.join(self.config_dir, f"{config_hash}.json"), "w") as f:
+            f.write(cfg_json)
+
+    def read_config(self, config_hash: str) -> Optional[dict]:
+        p = os.path.join(self.config_dir, f"{config_hash}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
