@@ -1,38 +1,517 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data ops: dedup / similarity / text analysis).
+``oracle_sql()`` — exact DuckDB-SQL equivalents.  Engine-neutral hashing
+(md5-hex→int) makes even MinHash/SimHash oracles EXACT, not statistical.
+
+Extraction operators are oracle-checked by deriving a transcript payload
+from the ``documents`` view with the same string construction in both
+engines, so DuckDB can compute the expected extraction output in pure SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared payload constructions (Spark side) — each mirrored 1:1 in oracle SQL
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = (
+    '<html><head><script>var x=1;</script></head><body>'
+    "<nav>NAV JUNK LINKS</nav>"
+    '<div class="cookie-banner">ACCEPT COOKIES</div>'
+    "<article><p>"
+)
+_HTML_POST = "</p></article><footer>FOOTER JUNK</footer></body></html>"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _html_wrapped(df: DataFrame) -> DataFrame:
+    return df.withColumn("payload", F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)))
+
+
+def _md_payload(df: DataFrame) -> DataFrame:
+    """Markdown pipe table built from the doc's first four words:
+
+        | c0 | c1 |
+        | --- | --- |
+        | w1 | w2 |
+        | w3 | w4 |
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = lambda i: F.element_at(toks, i)  # noqa: E731
+    return df.withColumn(
+        "payload",
+        F.concat(
+            F.lit("| c0 | c1 |\n| --- | --- |\n| "),
+            w(1), F.lit(" | "), w(2), F.lit(" |\n| "),
+            w(3), F.lit(" | "), w(4), F.lit(" |"),
+        ),
+    )
+
+
+def _as_transcripts(df: DataFrame) -> DataFrame:
+    """documents → transcript shape expected by the extraction operator."""
+    return df.select(
+        F.col("doc_id"),
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("payload").alias("text"),
+    )
+
+
+def _extracted(spark, sf_dir, payload_builder) -> DataFrame:
+    from table_ocr_spark.operators.extract_job import with_extraction
+
+    t = _as_transcripts(payload_builder(_docs(spark, sf_dir)))
+    ex = with_extraction(t.select("conv_id", "turn_idx", "text"))
+    return ex.withColumn("doc_id", F.col("conv_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_extract_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip (≈ adaptive-threshold content/背景 split +
+    tag recognizer): nav/cookie/footer/script junk removed, article kept."""
+    ex = _extracted(spark, sf_dir, _html_wrapped)
+    return ex.select("doc_id", "clean_text")
+
+
+def q_extract_html_mode_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _extracted(spark, sf_dir, _html_wrapped)
+    return ex.select(
+        "doc_id", "mode", F.round("boilerplate_ratio", 4).alias("bp_ratio")
+    )
+
+
+def q_extract_md_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown pipe-table grid extraction (Hough-analog separator voting:
+    rule line dropped, edge pipes are borders, cells trimmed)."""
+    ex = _extracted(spark, sf_dir, _md_payload)
+    return ex.select(
+        "doc_id",
+        F.size("cells").cast("long").alias("n_rows"),
+        F.aggregate(F.transform("cells", F.size), F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("n_cells"),
+        F.element_at(F.element_at("cells", 1), 1).alias("cell_00"),
+        F.element_at(F.element_at("cells", 2), 2).alias("cell_11"),
+        F.element_at(F.element_at("cells", 3), 2).alias("cell_21"),
+    )
+
+
+def q_extract_md_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell span offsets (hOCR-bbox analog): spans of the first data row.
+    Header '| c0 | c1 |' is chars 0..11; offsets are arithmetic in SQL."""
+    ex = _extracted(spark, sf_dir, _md_payload)
+    s = F.element_at("spans", 3)  # first data-row cell (row 1, col 0)
+    return ex.select(
+        "doc_id",
+        s["row"].cast("long").alias("span_row"),
+        s["col"].cast("long").alias("span_col"),
+        s["start"].cast("long").alias("span_start"),
+        s["end"].cast("long").alias("span_end"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import token_count_col
+
+    return _docs(spark, sf_dir).select("doc_id", token_count_col("text").alias("n_tokens"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import lang_id_col
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id_col("text").alias("lang_id"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import quality_score_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score_col("text"), 6).alias("quality")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import fingerprint_col
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+
+def _with_dups(df: DataFrame) -> DataFrame:
+    """Inject deterministic duplicates: every doc_id % 10 == 0 gets a copy
+    at doc_id + 1000000 (the corpus itself has no exact dups)."""
+    dups = df.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return df.unionByName(dups)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_with_dups(_docs(spark, sf_dir)), "text", "doc_id").select(
+        "fingerprint", F.col("n_dups").cast("long").alias("n_dups"), "min_key"
+    )
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.dedup import minhash_signature_col
+
+    sig = minhash_signature_col("text", k=8, shingle_n=2)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(",", F.transform(sig, lambda x: x.cast("string"))).alias("sig"),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _with_dups(_docs(spark, sf_dir)), "text", "doc_id", k=8, bands=4, shingle_n=2
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.dedup import simhash_col
+
+    return _docs(spark, sf_dir).select("doc_id", simhash_col("text", bits=16).alias("simhash"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard between consecutive doc_ids (deterministic pair
+    generator; LSH generates candidates at scale)."""
+    from table_ocr_spark.operators.dedup import jaccard_words_col
+
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("key_a"), F.col("text").alias("ta"))
+    b = d.select((F.col("doc_id") - 1).alias("key_a"), F.col("doc_id").alias("key_b"), F.col("text").alias("tb"))
+    return a.join(b, "key_a").select(
+        "key_a", "key_b", F.round(jaccard_words_col(F.col("ta"), F.col("tb")), 6).alias("jaccard")
+    )
+
+
+def q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of every embedding vs the vec_id=0 query vector
+    (the exact base of ANN top-k; scored set is hash-compared in full)."""
+    from table_ocr_spark.operators.similarity import cosine_col
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.crossJoin(F.broadcast(q))
+    return joined.select(
+        "vec_id",
+        F.round(
+            cosine_col(F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")),
+            4,
+        ).alias("cos_sim"),
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=-1.0)
+    return pairs.select(
+        "key_a", "key_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.5)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (window + lag): new session when gap > 30 min."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; floor-seconds on both engines
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", sess.cast("long").alias("session_id")
+    )
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational fringe: TPC-H Q1-style aggregate (bench headliner)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (revenue DESC, key ASC)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        o.join(rev, o.o_orderkey == rev.l_orderkey)
+        .select("o_orderkey", "o_custkey", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over transcripts derived from sf0.001
+    documents (HTML-wrapped + markdown-table payload mix)."""
+    sf_dir = "/root/testdata/sf0.001"
+    d = _docs(spark, sf_dir)
+    html = _html_wrapped(d.filter(F.col("doc_id") % 2 == 0))
+    md = _md_payload(d.filter(F.col("doc_id") % 2 == 1))
+    t = _as_transcripts(html.unionByName(md))
+    from table_ocr_spark.operators.extract_job import with_extraction
+
+    return with_extraction(t.select("conv_id", "turn_idx", "text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_html_clean": q_extract_html_clean,
+        "extract_html_mode_ratio": q_extract_html_mode_ratio,
+        "extract_md_cells": q_extract_md_cells,
+        "extract_md_spans": q_extract_md_spans,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_scores": q_cosine_scores,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_sessionize": q_events_sessionize,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SQL_HTML_PAYLOAD = (
+    "'<html><head><script>var x=1;</script></head><body>"
+    "<nav>NAV JUNK LINKS</nav>"
+    '<div class="cookie-banner">ACCEPT COOKIES</div>'
+    "<article><p>' || text || '</p></article>"
+    "<footer>FOOTER JUNK</footer></body></html>'"
+)
+
+# normalized doc text (single-spaced, trimmed) — what extraction returns
+_SQL_NORM_TEXT = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+_SQL_HASH60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _sql_marker_count(markers) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_SQL_TOKS}, t -> lower(t) IN ({lst})))"
+
+
+def _sql_lang_id() -> str:
+    from table_ocr_spark.operators.textstats import LANG_MARKERS
+
+    c = {lang: _sql_marker_count(m) for lang, m in LANG_MARKERS.items()}
+    zh = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
+    return (
+        f"CASE WHEN {zh} > 0 THEN 'zh' "
+        f"WHEN {c['en']} = 0 AND {c['de']} = 0 AND {c['fr']} = 0 AND {c['es']} = 0 THEN 'unk' "
+        f"WHEN {c['en']} >= {c['de']} AND {c['en']} >= {c['fr']} AND {c['en']} >= {c['es']} THEN 'en' "
+        f"WHEN {c['de']} >= {c['fr']} AND {c['de']} >= {c['es']} THEN 'de' "
+        f"WHEN {c['fr']} >= {c['es']} THEN 'fr' ELSE 'es' END"
+    )
+
+
+def _sql_minhash_sig() -> str:
+    """8-hash MinHash signature over distinct word 2-gram shingles, as a
+    comma-joined string (matches concat_ws on the Spark side)."""
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
+        f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1]))"
+    )
+    mins = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _SQL_HASH60.format(x=f"s || '#{j}'")
+        + "))::VARCHAR"
+        for j in range(8)
+    )
+    return f"(SELECT concat_ws(',', {mins}) FROM (SELECT {shingles} AS sh) _s)"
+
+
+_SQL_TOKS_L = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    toks = f"list_distinct({_SQL_TOKS_L})"
+    h = "list_transform(" + toks + ", t -> " + _SQL_HASH60.format(x="t") + ")"
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) > len(hs) THEN {2**b} ELSE 0 END"
+        )
+    return f"(SELECT ({' + '.join(terms)})::BIGINT FROM (SELECT {h} AS hs) _t)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from table_ocr_spark.operators.textstats import EN_STOPWORDS
+
+    n_tok = f"len({_SQL_TOKS})::BIGINT"
+    stop_hits = _sql_marker_count(EN_STOPWORDS)
+    special = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+    quality = (
+        f"(0.5 * least(1.0, ({n_tok})::DOUBLE / 50.0) "
+        f"+ 0.3 * (CASE WHEN {n_tok} = 0 THEN 0.0 ELSE ({stop_hits})::DOUBLE / ({n_tok})::DOUBLE END) "
+        f"+ 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE ({special})::DOUBLE / length(text)::DOUBLE END)))"
+    )
+    fingerprint = f"md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    dup_union = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"
+    )
+    w = lambda i: f"{_SQL_TOKS}[{i}]"  # noqa: E731
+    md_payload = (
+        f"'| c0 | c1 |' || chr(10) || '| --- | --- |' || chr(10) || "
+        f"'| ' || {w(1)} || ' | ' || {w(2)} || ' |' || chr(10) || "
+        f"'| ' || {w(3)} || ' | ' || {w(4)} || ' |'"
+    )
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
+    )
+    cos_ab = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    sig_expr = _sql_minhash_sig()
+    band_bucket = (
+        "SELECT doc_id, band, "
+        "sig[band * 2 + 1]::VARCHAR || ':' || sig[band * 2 + 2]::VARCHAR AS bucket "
+        "FROM sigs, (SELECT unnest(range(4)) AS band) _b"
+    )
+
+    return {
+        "extract_html_clean": (
+            f"SELECT doc_id, {_SQL_NORM_TEXT} AS clean_text FROM documents"
+        ),
+        "extract_html_mode_ratio": (
+            f"SELECT doc_id, 'explicit_markup' AS mode, "
+            f"round(1.0 - length({_SQL_NORM_TEXT})::DOUBLE / length({_SQL_HTML_PAYLOAD})::DOUBLE, 4) AS bp_ratio "
+            f"FROM documents"
+        ),
+        "extract_md_cells": (
+            f"SELECT doc_id, 3::BIGINT AS n_rows, 6::BIGINT AS n_cells, "
+            f"'c0' AS cell_00, {w(2)} AS cell_11, {w(4)} AS cell_21 FROM documents"
+        ),
+        "extract_md_spans": (
+            # payload: '| c0 | c1 |\n| --- | --- |\n| w1 | w2 |\n| w3 | w4 |'
+            # line 3 starts at offset 12+14=26; first cell starts at 26+2
+            f"SELECT doc_id, 1::BIGINT AS span_row, 0::BIGINT AS span_col, "
+            f"28::BIGINT AS span_start, (28 + length({w(1)}))::BIGINT AS span_end FROM documents"
+        ),
+        "token_count": f"SELECT doc_id, {n_tok} AS n_tokens FROM documents",
+        "lang_id": f"SELECT doc_id, {_sql_lang_id()} AS lang_id FROM documents",
+        "quality_score": f"SELECT doc_id, round({quality}, 6) AS quality FROM documents",
+        "fingerprint": f"SELECT doc_id, {fingerprint} AS fingerprint FROM documents",
+        "exact_dedup": (
+            f"SELECT {fingerprint} AS fingerprint, count(*)::BIGINT AS n_dups, min(doc_id) AS min_key "
+            f"FROM ({dup_union}) GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "minhash_signature": f"SELECT doc_id, {sig_expr} AS sig FROM documents",
+        "minhash_lsh_pairs": (
+            f"WITH docs2 AS ({dup_union}), "
+            f"sigs AS (SELECT doc_id, (SELECT list_value("
+            + ", ".join(
+                "list_min(list_transform(sh, s -> " + _SQL_HASH60.format(x=f"s || '#{j}'") + "))"
+                for j in range(8)
+            )
+            + f") FROM (SELECT list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
+            f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1])) AS sh) _s) AS sig FROM docs2), "
+            f"banded AS ({band_bucket}) "
+            f"SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "
+            f"FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        ),
+        "simhash": f"SELECT doc_id, {_sql_simhash(16)} AS simhash FROM documents",
+        "ngram_jaccard": (
+            "SELECT a.doc_id AS key_a, b.doc_id AS key_b, "
+            "round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 "
+            "ELSE len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE END, 6) AS jaccard "
+            "FROM (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sa FROM documents) a "
+            "JOIN (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sb FROM documents) b "
+            "ON b.doc_id = a.doc_id + 1"
+        ),
+        "cosine_scores": (
+            f"SELECT e.vec_id, round({cos}, 4) AS cos_sim "
+            f"FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q"
+        ),
+        "embedding_near_dup": (
+            f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
+            f"FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
+            f"WHERE round({cos_ab}, 4) >= 0.5"
+        ),
+        "events_sessionize": (
+            "SELECT event_id, user_id, "
+            "sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id "
+            "FROM (SELECT event_id, user_id, ts, "
+            "floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events)"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*)::BIGINT AS count_order "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_revenue_orders": (
+            "SELECT o_orderkey, o_custkey, revenue FROM orders "
+            "JOIN (SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem GROUP BY l_orderkey) r ON o_orderkey = l_orderkey "
+            "ORDER BY revenue DESC, o_orderkey LIMIT 20"
+        ),
+    }

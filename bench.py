@@ -1,0 +1,145 @@
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Headline: extraction throughput (turns/sec) over a deterministic synthetic
+transcript corpus scaled to the SF step (FIXTURES.md: sf0.1 ≈ 10^5 turns,
+heavy-tailed conv lengths), plus wall times for the contract queries on the
+driver's TPC-H-ish tables.
+
+Env:
+    SPARK_GRAFT_SF_DIR   input tables dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+
+Prints ONE JSON line:
+    {"metric": "extract_throughput", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "turns": N, "turns_per_sec": T, "cpus": C}
+
+Methodology: every timed query is forced through a `noop` write (full
+materialization — a bare count() would let Catalyst skip the extraction
+UDF via column pruning).  The transcript corpus is generated once per SF
+and cached under /tmp/spark_graft_bench (deterministic seed; cache key =
+sf name + corpus version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORPUS_VERSION = "v1"
+# conversations per SF step (turns ≈ convs × ~23 with the heavy tail)
+SF_CONVS = {"sf0.001": 50, "sf0.01": 500, "sf0.1": 4500}
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf0.1"
+
+
+def _sf_value(name: str) -> float:
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def ensure_corpus(sf_dir: str) -> str:
+    """Generate (once) the deterministic transcript corpus for this SF."""
+    name = _sf_name(sf_dir)
+    n_convs = SF_CONVS.get(name, 500)
+    path = f"/tmp/spark_graft_bench/{CORPUS_VERSION}/{name}/transcripts"
+    marker = os.path.join(path, "_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+    from table_ocr_spark.synth import gen_pandas
+
+    os.makedirs(path, exist_ok=True)
+    pdf = gen_pandas(n_convs, seed=42, max_long=4000)
+    write_transcripts_parquet(pdf, path, n_files=32)
+    with open(marker, "w") as f:
+        f.write(str(len(pdf)))
+    return path
+
+
+def _noop_write(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    name = _sf_name(sf_dir)
+
+    corpus_path = ensure_corpus(sf_dir)
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as contract
+    from table_ocr_spark.operators.extract_job import with_extraction
+    from table_ocr_spark.operators.skew import salted_repartition
+    from table_ocr_spark.session import build_session
+    from table_ocr_spark.sources.catalog import load_transcripts
+
+    spark = build_session(app_name="bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: extraction throughput -------------------------------
+    src = load_transcripts(spark, corpus_path).select("conv_id", "turn_idx", "text")
+    n_turns = src.count()
+    # warm-up: JVM + Python workers + code paths (not timed)
+    _noop_write(with_extraction(src.limit(2000)))
+
+    t0 = time.time()
+    balanced = salted_repartition(src, num_partitions=cpus * 2)
+    _noop_write(with_extraction(balanced))
+    extract_sec = time.time() - t0
+    timings["extract_flagship"] = round(extract_sec, 3)
+
+    # ---- contract queries on driver tables ------------------------------
+    bench_queries = [
+        "extract_html_clean",
+        "extract_md_cells",
+        "token_count",
+        "lang_id",
+        "quality_score",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "simhash",
+        "cosine_scores",
+        "events_sessionize",
+        "q1_pricing_summary",
+        "top_revenue_orders",
+    ]
+    qs = contract.queries()
+    for qname in bench_queries:
+        t0 = time.time()
+        _noop_write(qs[qname](spark, sf_dir))
+        timings[qname] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extract_throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_value(name),
+                "turns": n_turns,
+                "turns_per_sec": round(n_turns / extract_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

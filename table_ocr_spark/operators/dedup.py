@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all Spark built-in expressions (JVM-side; no Python UDFs):
+
+* **exact**: hash-groupBy on the content fingerprint.
+* **MinHash + LSH**: word-shingle → K md5-based min-hashes → bands →
+  bucket self-join.  The hash is ``conv(substr(md5(shingle || '#' || j),
+  1, 15), 16, 10)`` — 60 bits, engine-neutral (DuckDB computes the same
+  value via hex-cast), so correctness oracles are EXACT, not statistical.
+* **SimHash**: B-bit signature from per-token md5 bit votes; near-dups =
+  small Hamming distance.
+* **n-gram Jaccard**: exact set similarity for candidate verification.
+
+Scale notes (100 TB): exact dedup is one shuffle on the fingerprint
+(map-side partial agg applies).  MinHash signatures are a projection;
+LSH banding explodes ×bands (bounded), buckets then group — the classic
+shuffle-join-on-band-hash; the final verify joins only candidate pairs.
+Broadcast nothing here: both sides are big; AQE handles bucket skew
+(hot buckets = near-identical boilerplate docs, which is exactly what
+salting-by-band already spreads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from table_ocr_spark.operators.textstats import fingerprint_col
+
+
+# ------------------------------------------------------------- exact ------
+def exact_duplicates(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: fingerprint → members.
+    Returns (fingerprint, n_dups, min_key) for groups with >1 member."""
+    return (
+        df.withColumn("fingerprint", fingerprint_col(text))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(key).alias("min_key"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Keep one representative (min key) per fingerprint group."""
+    w = F.row_number().over(
+        Window.partitionBy(fingerprint_col(text)).orderBy(F.col(key))
+    )
+    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ----------------------------------------------------------- shingles -----
+def word_shingles_col(text: str = "text", n: int = 2) -> Column:
+    """Distinct word n-gram shingles (sorted for determinism)."""
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    if n == 1:
+        sh = toks
+    else:
+        # sequence over start positions; element_at is 1-based
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+        sh = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    return F.array_sort(F.array_distinct(sh))
+
+
+def _hash60(col: Column) -> Column:
+    """Engine-neutral 60-bit hash: first 15 hex chars of md5 → bigint.
+    DuckDB equivalent: ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature_col(text: str = "text", k: int = 8, shingle_n: int = 2) -> Column:
+    """K-permutation MinHash via salted md5 (exactly reproducible in SQL).
+
+    Shaped as ONE nested higher-order function — transform over the salt
+    array with the shingle array bound once in the outer scope — so the
+    (expensive) shingle subtree appears once in the plan instead of k times.
+    NB: transform lambdas must be single-parameter; a second parameter
+    receives the ARRAY INDEX, silently corrupting a closed-over salt."""
+    sh = word_shingles_col(text, shingle_n)
+    salts = F.array(*[F.lit(f"#{j}") for j in range(k)])
+    return F.transform(
+        salts,
+        lambda salt: F.array_min(F.transform(sh, lambda s: _hash60(F.concat(s, salt)))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: equal MinHash band in ≥1 of ``bands`` bands.
+
+    signature[k] → bands of k/bands values → explode → groupBy band bucket →
+    self-join inside buckets (key_a < key_b), distinct pairs.
+    """
+    rows_per_band = k // bands
+    # Exchange after the signature projection: (1) CollapseProject cannot
+    # re-inline the expensive sig expression into each of the 2×bands
+    # element_at references below, (2) ReuseExchange computes the subtree
+    # ONCE for both sides of the self-join (observed 35 s → ~2 s at sf0.01).
+    sig = df.select(
+        F.col(key).alias("k"), minhash_signature_col(text, k, shingle_n).alias("sig")
+    ).repartition("k")
+    banded = sig.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ simhash -----
+def simhash_col(text: str = "text", bits: int = 16) -> Column:
+    """B-bit SimHash: bit b set iff more than half the distinct tokens have
+    bit b set in their 60-bit md5 hash. Engine-neutral and exact."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text))), r"\s+"))
+    hashes = F.transform(toks, _hash60)
+    n = F.size(hashes)
+    out = F.lit(0).cast("long")
+
+    def _bit_filter(b: int):
+        mask = F.lit(2 ** b).cast("long")
+        return lambda h: h.bitwiseAND(mask) > 0
+
+    for b in range(bits):
+        cnt = F.size(F.filter(hashes, _bit_filter(b)))
+        out = out + F.when((cnt * 2) > n, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming16_col(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit simhashes via popcount of XOR."""
+    x = a.bitwiseXOR(b)
+    return F.size(
+        F.filter(
+            F.transform(F.sequence(F.lit(0), F.lit(15)), lambda i: F.shiftright(x, i.cast("int")).bitwiseAND(F.lit(1))),
+            lambda v: v == 1,
+        )
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard ---
+def jaccard_words_col(a: Column, b: Column) -> Column:
+    """Word-set Jaccard between two text columns (distinct whitespace
+    tokens). Exact rational arithmetic until the final divide."""
+    sa = F.array_distinct(F.split(F.trim(F.lower(a)), r"\s+"))
+    sb = F.array_distinct(F.split(F.trim(F.lower(b)), r"\s+"))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)

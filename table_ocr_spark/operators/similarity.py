@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force cosine top-k against a query vector:
+  the exact baseline.  Pure JVM expressions (``zip_with`` dot product +
+  ``aggregate`` fold) — one pruned column scan, one top-k sort; no Python.
+* ``lsh_bucket_col`` / ``cosine_topk_lsh`` — the scale path: random-
+  hyperplane LSH (sign-bit sketch).  Hyperplane components are derived
+  deterministically from md5(plane, dim) so every engine/run agrees; at
+  query time only rows sharing ≥1 plane-bucket with the query are exactly
+  re-ranked.  At 10^12 rows the bucket filter prunes the scan by ~2^-P per
+  matching band; the exact rerank touches a tiny candidate set.
+
+Embedding-cosine near-dup detection (`embedding_near_dup`) pairs
+consecutive ids — the cheap deterministic candidate generator used by the
+correctness oracle; LSH generates candidates at scale.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    d = dot_col(a, b)
+    na, nb = norm_col(a), norm_col(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+def _lit_vec(q: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by cosine vs a literal query vector.
+
+    Deterministic total order: (-cos, key) — ties break on key, so results
+    are stable across partitionings (required for the equality oracle).
+    """
+    qc = _lit_vec(query)
+    scored = df.select(
+        F.col(key),
+        cosine_col(F.col(vec).cast("array<double>"), qc).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(key)).limit(k)
+
+
+def hyperplane(dim: int, plane: int) -> List[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5(plane:dim).
+    Engine-neutral: any runtime hashing the same strings gets the same
+    plane (the correctness tests recompute it in pure Python)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).digest()[0]
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-bit bucket id: bit p = (v · hyperplane_p) > 0."""
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        hp = _lit_vec(hyperplane(dim, p))
+        out = out + F.when(dot_col(vec.cast("array<double>"), hp) > 0, F.lit(2 ** p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    planes: int = 8,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """LSH-pruned top-k: filter to rows whose sign-bucket is within
+    ``max_hamming`` bits of the query's bucket, then exact rerank.
+    Recall < 1.0 by design — the scale path; the brute-force operator is
+    the ground truth it is tested against."""
+    import hashlib  # noqa: F401  (hyperplane uses it)
+
+    dim = len(query)
+    qbits = 0
+    for p in range(planes):
+        hp = hyperplane(dim, p)
+        if sum(q * h for q, h in zip(query, hp)) > 0:
+            qbits |= 1 << p
+    bucketed = df.withColumn("_bkt", lsh_bucket_col(F.col(vec), dim, planes))
+    x = F.col("_bkt").bitwiseXOR(F.lit(qbits))
+    pop = sum(
+        (F.shiftright(x, p).bitwiseAND(F.lit(1))) for p in range(planes)
+    )
+    cand = bucketed.filter(pop <= max_hamming)
+    return cosine_topk(cand, query, k=k, vec=vec, key=key)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs among consecutive ids (deterministic candidate
+    set used by the oracle; swap in LSH buckets for open-world candidates)."""
+    a = df.select(F.col(key).alias("key_a"), F.col(vec).alias("_va"))
+    b = df.select((F.col(key) - 1).alias("key_a"), F.col(key).alias("key_b"), F.col(vec).alias("_vb"))
+    joined = a.join(b, "key_a")
+    return (
+        joined.select(
+            "key_a",
+            "key_b",
+            cosine_col(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Spark column expressions — JVM-side, whole-stage-codegen'd, no
+Python in the hot path.  Every operator has an exact DuckDB-SQL equivalent
+(used as the correctness oracle), so semantics are pinned engine-neutrally:
+same tokenization (regex split on whitespace), same marker-word sets, same
+md5-based hashing.
+
+These extend the reference's capability surface (it extracts content; a
+10^12-turn corpus also needs filtering/scoring — SURVEY.md §7 scope note),
+the way its ``TesseractOCR`` recognizer knobs (detectors.py:767-890:
+language ``eng+fas``, quality via confidence) foreshadow language handling
+and quality signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker-token sets per language (deterministic heuristic; the oracle runs
+# the same sets — this is a pinned spec, not a linguistics claim).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to", "a"),
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "es": ("el", "los", "y", "las", "una", "que"),
+}
+LANG_PRIORITY = ("en", "de", "fr", "es")  # deterministic tie-break order
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokens_col(text: str = "text") -> Column:
+    """Whitespace tokenization, empty-safe: split(trim(text), '\\s+')."""
+    return F.split(F.trim(F.col(text)), r"\s+")
+
+
+def token_count_col(text: str = "text") -> Column:
+    return F.when(F.trim(F.col(text)) == "", F.lit(0)).otherwise(
+        F.size(tokens_col(text))
+    ).cast("long")
+
+
+def marker_hits(text: str, markers: tuple) -> Column:
+    lit_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(lit_arr, F.lower(t))))
+
+
+def lang_id_col(text: str = "text") -> Column:
+    """n-gram/marker-token language ID. CJK chars dominate; otherwise the
+    language with most marker hits wins, ties broken by LANG_PRIORITY.
+
+    Written as a flat CASE (argmax with earliest-priority tie-break), NOT a
+    when()-fold: a fold chains each branch on the previous best-score
+    expression, duplicating every earlier subtree per level — Catalyst does
+    no CSE across when() branches, so the tree (and codegen) grows
+    exponentially with the number of languages (observed: 54 s for 500 rows
+    folded vs ~1 s flat)."""
+    zh = F.length(F.regexp_replace(F.col(text), r"[^一-鿿]", ""))
+    en, de, fr, es = (marker_hits(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY)
+    return (
+        F.when(zh > 0, F.lit("zh"))
+        .when((en == 0) & (de == 0) & (fr == 0) & (es == 0), F.lit("unk"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def stopword_ratio_col(text: str = "text") -> Column:
+    n = token_count_col(text)
+    hits = marker_hits(text, EN_STOPWORDS).cast("double")
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
+
+
+def special_char_ratio_col(text: str = "text") -> Column:
+    total = F.length(F.col(text))
+    specials = F.length(F.regexp_replace(F.col(text), r"[A-Za-z0-9\s]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        specials.cast("double") / total.cast("double")
+    )
+
+
+def quality_score_col(text: str = "text") -> Column:
+    """Composite quality in [0,1]: length term + stopword term + cleanliness
+    term. Pinned formula (oracle replicates it verbatim):
+
+        0.5 * least(1, tokens/50) + 0.3 * stopword_ratio
+        + 0.2 * (1 - special_char_ratio)
+    """
+    n = token_count_col(text).cast("double")
+    length_term = F.least(F.lit(1.0), n / F.lit(50.0))
+    return (
+        F.lit(0.5) * length_term
+        + F.lit(0.3) * stopword_ratio_col(text)
+        + F.lit(0.2) * (F.lit(1.0) - special_char_ratio_col(text))
+    )
+
+
+def fingerprint_col(text: str = "text") -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text — the exact-dedup key. (Content-defined, layout-insensitive.)"""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text), r"\s+", " ")))
+    return F.md5(norm)
+
+
+def with_textstats(df: DataFrame, text: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count_col(text))
+        .withColumn("lang_id", lang_id_col(text))
+        .withColumn("stopword_ratio", stopword_ratio_col(text))
+        .withColumn("quality_score", quality_score_col(text))
+        .withColumn("fingerprint", fingerprint_col(text))
+    )
