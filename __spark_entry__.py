@@ -350,10 +350,15 @@ def _sql_marker_count(markers) -> str:
     return f"len(list_filter({_SQL_TOKS}, t -> lower(t) IN ({lst})))"
 
 
+def _sql_distinct_marker_count(markers) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_intersect(list_distinct({_SQL_TOKS_L}), [{lst}]))"
+
+
 def _sql_lang_id() -> str:
     from table_ocr_spark.operators.textstats import LANG_MARKERS
 
-    c = {lang: _sql_marker_count(m) for lang, m in LANG_MARKERS.items()}
+    c = {lang: _sql_distinct_marker_count(m) for lang, m in LANG_MARKERS.items()}
     zh = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
     return (
         f"CASE WHEN {zh} > 0 THEN 'zh' "

@@ -159,14 +159,15 @@ def simhash_col(text: str = "text", bits: int = 16) -> Column:
 
 
 def hamming16_col(a: Column, b: Column) -> Column:
-    """Hamming distance between two 16-bit simhashes via popcount of XOR."""
+    """Hamming distance between two 16-bit simhashes: popcount of XOR.
+    (shiftright takes a Python int literal, hence the unrolled sum — 16
+    flat terms, linear tree.)"""
     x = a.bitwiseXOR(b)
-    return F.size(
-        F.filter(
-            F.transform(F.sequence(F.lit(0), F.lit(15)), lambda i: F.shiftright(x, i.cast("int")).bitwiseAND(F.lit(1))),
-            lambda v: v == 1,
-        )
-    )
+    terms = [F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")) for i in range(16)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
 
 
 # ------------------------------------------------------- n-gram jaccard ---

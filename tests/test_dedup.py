@@ -1,0 +1,112 @@
+"""Dedup operator semantics against hand-built micro-corpora and a pure-
+Python MinHash/SimHash re-implementation (independent of the Spark code)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_minhash(text: str, k: int = 8) -> list:
+    toks = text.strip().lower().split()
+    sh = set(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    return [min(_h60(f"{s}#{j}") for s in sh) for j in range(k)]
+
+
+def _py_simhash(text: str, bits: int = 16) -> int:
+    toks = set(text.strip().lower().split())
+    hs = [_h60(t) for t in toks]
+    out = 0
+    for b in range(bits):
+        cnt = sum(1 for h in hs if (h >> b) & 1)
+        if 2 * cnt > len(hs):
+            out |= 1 << b
+    return out
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different content about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "one more unrelated document with other words"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs_df):
+    from table_ocr_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 2 and groups[0].min_key == 0
+
+
+def test_dedup_exact_keeps_min_key(spark, docs_df):
+    from table_ocr_spark.operators.dedup import dedup_exact
+
+    kept = {r.doc_id for r in dedup_exact(docs_df).collect()}
+    assert kept == {0, 1, 2, 4}
+
+
+def test_minhash_matches_pure_python(spark, docs_df):
+    from table_ocr_spark.operators.dedup import minhash_signature_col
+
+    rows = docs_df.select("doc_id", minhash_signature_col("text").alias("sig")).collect()
+    for r in rows:
+        assert list(r.sig) == _py_minhash(DOCS[r.doc_id][1]), f"doc {r.doc_id}"
+
+
+def test_simhash_matches_pure_python(spark, docs_df):
+    from table_ocr_spark.operators.dedup import simhash_col
+
+    rows = docs_df.select("doc_id", simhash_col("text").alias("sh")).collect()
+    for r in rows:
+        assert r.sh == _py_simhash(DOCS[r.doc_id][1]), f"doc {r.doc_id}"
+
+
+def test_simhash_near_dup_close_exact_dup_equal(spark, docs_df):
+    from table_ocr_spark.operators.dedup import hamming16_col, simhash_col
+
+    sh = {r.doc_id: r.sh for r in docs_df.select("doc_id", simhash_col("text").alias("sh")).collect()}
+    assert sh[0] == sh[3]  # exact dup → same simhash
+    ham01 = bin(sh[0] ^ sh[1]).count("1")
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+    # hamming16_col agrees with python popcount
+    df = docs_df.alias("a").crossJoin(docs_df.alias("b")).filter("a.doc_id < b.doc_id")
+    got = df.select(
+        F.col("a.doc_id").alias("i"),
+        F.col("b.doc_id").alias("j"),
+        hamming16_col(simhash_col("a.text"), simhash_col("b.text")).alias("d"),
+    ).collect()
+    for r in got:
+        want = bin(sh[r.i] ^ sh[r.j]).count("1")
+        assert r.d == want
+
+
+def test_minhash_lsh_finds_dups_not_unrelated(spark, docs_df):
+    from table_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.key_a, r.key_b) for r in minhash_lsh_pairs(docs_df).collect()}
+    assert (0, 3) in pairs  # exact dup always collides in every band
+    assert (0, 2) not in pairs and (2, 4) not in pairs  # unrelated don't
+
+
+def test_jaccard_words(spark, docs_df):
+    from table_ocr_spark.operators.dedup import jaccard_words_col
+
+    df = spark.createDataFrame(
+        [("a b c", "a b c"), ("a b c", "a b d"), ("a b", "c d")], "x string, y string"
+    )
+    got = [r.j for r in df.select(F.round(jaccard_words_col(F.col("x"), F.col("y")), 6).alias("j")).collect()]
+    assert got == [1.0, 0.5, 0.0]

@@ -1,0 +1,100 @@
+"""Streaming extraction == batch extraction (AvailableNow drain), and
+multimodal mapInPandas plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_ocr_spark import synth
+from table_ocr_spark.sources.catalog import write_transcripts_parquet
+
+
+def test_stream_extract_equals_batch(spark, tmp_path):
+    from table_ocr_spark.operators.extract_job import with_extraction
+    from table_ocr_spark.sources.catalog import load_transcripts
+    from table_ocr_spark.streaming.stream_extract import start_extract_stream
+
+    inp = str(tmp_path / "in")
+    write_transcripts_parquet(synth.gen_pandas(8, seed=42, max_long=50), inp)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_extract_stream(spark, inp, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).orderBy("conv_id", "turn_idx").toPandas()
+    want = (
+        with_extraction(load_transcripts(spark, inp).select("conv_id", "turn_idx", "text"))
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    assert got["mode"].tolist() == want["mode"].tolist()
+
+
+def test_stream_resume_processes_only_new_files(spark, tmp_path):
+    """Streaming checkpoint = incremental ingest: a second AvailableNow run
+    over the same dir plus one new file emits only the new rows."""
+    from table_ocr_spark.streaming.stream_extract import start_extract_stream
+
+    inp = str(tmp_path / "in")
+    write_transcripts_parquet(synth.gen_pandas(4, seed=1, max_long=30), inp, n_files=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = start_extract_stream(spark, inp, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # new file lands
+    import pandas as pd
+
+    extra = synth.gen_pandas(2, seed=2, max_long=10)
+    write_transcripts_parquet(extra, inp + "/more_tmp", n_files=1)
+    import os, shutil
+
+    src = [f for f in os.listdir(inp + "/more_tmp") if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(inp + "/more_tmp", src), os.path.join(inp, "part-new.parquet"))
+
+    q2 = start_extract_stream(spark, inp, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1 + len(extra)
+    # no duplicates
+    dups = (
+        spark.read.parquet(out)
+        .groupBy("conv_id", "turn_idx")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dups == 0
+
+
+def test_multimodal_feature_extraction(spark):
+    from table_ocr_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_fake_media,
+        extract_media_features,
+    )
+
+    rows = [
+        (1, "image", encode_fake_media(1, "image", 640, 480), "image/png"),
+        (2, "video", encode_fake_media(2, "video", 1920, 1080, n_frames=30), "video/mp4"),
+        (3, "audio", encode_fake_media(3, "audio", 0, 0, n_frames=16000), "audio/wav"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_media_features(df, feature_dim=4).collect()}
+    assert got[1].width == 640 and got[1].height == 480 and got[1].n_frames == 1
+    assert got[2].n_frames == 30
+    assert len(got[3].feature) == 4
+    # deterministic across runs
+    again = {r.media_id: r for r in extract_media_features(df, feature_dim=4).collect()}
+    assert got[1].feature == again[1].feature
+
+
+def test_multimodal_foreign_bytes_raise(spark):
+    from table_ocr_spark.multimodal.media import MEDIA_SCHEMA, extract_media_features
+
+    df = spark.createDataFrame([(9, "image", b"\x89PNG not really", "image/png")], MEDIA_SCHEMA)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as Py4J task failure
+        extract_media_features(df).collect()

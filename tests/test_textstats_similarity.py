@@ -1,0 +1,107 @@
+"""Text-stats and similarity operator semantics (micro-fixtures + pure-
+Python cross-checks)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_token_count_and_empty(spark):
+    from table_ocr_spark.operators.textstats import token_count_col
+
+    df = spark.createDataFrame(
+        [("a b  c",), ("  x ",), ("",), ("   ",)], "text string"
+    )
+    got = [r.n for r in df.select(token_count_col("text").alias("n")).collect()]
+    assert got == [3, 1, 0, 0]
+
+
+def test_lang_id_markers(spark):
+    from table_ocr_spark.operators.textstats import lang_id_col
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("der hund und die katze ist nicht da",),
+            ("le chat et la souris les voit",),
+            ("el perro y los gatos una casa que",),
+            ("这是中文文本",),
+            ("xyzzy plugh",),
+        ],
+        "text string",
+    )
+    got = [r.l for r in df.select(lang_id_col("text").alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es", "zh", "unk"]
+
+
+def test_quality_score_range_and_monotonicity(spark):
+    from table_ocr_spark.operators.textstats import quality_score_col
+
+    df = spark.createDataFrame(
+        [("w",), (" ".join(["the word"] * 50),), ("!!!! ???? ####",)], "text string"
+    )
+    got = [r.q for r in df.select(quality_score_col("text").alias("q")).collect()]
+    assert all(0.0 <= q <= 1.0 for q in got)
+    assert got[1] > got[0]  # long stopwordy text scores higher than one token
+    assert got[2] < got[1]  # special-char soup scores lower
+
+
+def test_fingerprint_layout_insensitive(spark):
+    from table_ocr_spark.operators.textstats import fingerprint_col
+
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("hello\nworld",), ("other",)],
+        "text string",
+    )
+    fps = [r.f for r in df.select(fingerprint_col("text").alias("f")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [0.5, 0.5, 0.5, 0.5]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs_df(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_matches_python(spark, vecs_df):
+    from table_ocr_spark.operators.similarity import cosine_topk
+
+    q = VECS[0][1]
+    got = cosine_topk(vecs_df, q, k=3).collect()
+    want = sorted(VECS, key=lambda v: (-_cos(v[1], q), v[0]))[:3]
+    assert [r.vec_id for r in got] == [v[0] for v in want]
+    for r, v in zip(got, want):
+        assert abs(r.cos_sim - _cos(v[1], q)) < 1e-12
+
+
+def test_lsh_topk_recalls_brute_force_top1(spark, vecs_df):
+    from table_ocr_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    q = [0.95, 0.05, 0.0, 0.0]
+    brute = cosine_topk(vecs_df, q, k=1).collect()[0]
+    lsh = cosine_topk_lsh(vecs_df, q, k=1, planes=4, max_hamming=1).collect()
+    assert lsh and lsh[0].vec_id == brute.vec_id
+
+
+def test_embedding_near_dup_pairs(spark, vecs_df):
+    from table_ocr_spark.operators.similarity import embedding_near_dup_pairs
+
+    pairs = {(r.key_a, r.key_b): r.cos_sim for r in embedding_near_dup_pairs(vecs_df, threshold=0.9).collect()}
+    assert (0, 1) in pairs  # cos(v0, v1) ≈ 0.994
+    assert (2, 3) not in pairs  # orthogonal
