@@ -234,10 +234,89 @@ def q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.similarity import embedding_near_dup_pairs
 
+    # threshold 0.0 keeps ~half the pairs on this corpus — a non-trivial
+    # equality check (0.95 would pass vacuously with zero rows)
     pairs = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=-1.0)
     return pairs.select(
         "key_a", "key_b", F.round("cos_sim", 4).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= 0.5)
+    ).filter(F.col("cos_sim") >= 0.0)
+
+
+def q_cells_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened cell view (explode rows → posexplode cells) over the
+    markdown-table payload — one row per extracted table cell."""
+    from table_ocr_spark.operators.conv_scope import cells_flat
+
+    ex = _extracted(spark, sf_dir, _md_payload)
+    flat = cells_flat(ex)
+    return flat.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "row_idx", "col_idx", "cell"
+    )
+
+
+def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-scoped boilerplate removal (applyInPandas whole-conv
+    stage): 5-turn convs built from each doc's words, with a constant
+    banner line injected into every turn — the banner must vanish.
+
+    Oracle: each turn's stripped text == its own word (the banner is
+    repeated in 5/5 turns → banned); expressible in SQL."""
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    turns = d.select(
+        F.col("doc_id"),
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("turn_idx"),
+        toks.alias("_toks"),
+    ).select(
+        "doc_id",
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("SENT FROM MY AGENT\n"),
+            F.element_at("_toks", F.col("turn_idx") + 1),
+            F.lit("-"),
+            F.col("turn_idx").cast("string"),
+        ).alias("text"),
+    )
+    out = strip_conv_boilerplate(turns, ratio=0.6, min_turns=3)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "text_stripped",
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the batch shape of the streaming
+    watermark+window pattern): events per hour × type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            # epoch seconds: timestamp dtypes (ns vs µs) hash-compare unsafely
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp_ltz")
+            .cast("long")
+            .alias("w_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (window rank, deterministic tie-break)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("rn"))
+    )
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,6 +398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_scores": q_cosine_scores,
         "embedding_near_dup": q_embedding_near_dup,
+        "cells_flat": q_cells_flat,
+        "conv_boilerplate_strip": q_conv_boilerplate_strip,
+        "events_windowed": q_events_windowed,
+        "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -495,7 +578,31 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": (
             f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
             f"FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
-            f"WHERE round({cos_ab}, 4) >= 0.5"
+            f"WHERE round({cos_ab}, 4) >= 0.0"
+        ),
+        "cells_flat": (
+            f"SELECT doc_id, r.row_idx::BIGINT AS row_idx, r.col_idx::BIGINT AS col_idx, "
+            f"CASE WHEN r.row_idx = 0 THEN (CASE r.col_idx WHEN 0 THEN 'c0' ELSE 'c1' END) "
+            f"WHEN r.row_idx = 1 THEN (CASE r.col_idx WHEN 0 THEN {w(1)} ELSE {w(2)} END) "
+            f"ELSE (CASE r.col_idx WHEN 0 THEN {w(3)} ELSE {w(4)} END) END AS cell "
+            f"FROM documents, (VALUES (0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)) r(row_idx, col_idx)"
+        ),
+        "conv_boilerplate_strip": (
+            # the banner repeats in 5/5 turns → banned; each word-<t> line is
+            # unique within its conversation → kept verbatim
+            f"SELECT doc_id, t AS turn_idx, {_SQL_TOKS}[t::INT + 1] || '-' || t::VARCHAR AS text_stripped "
+            f"FROM documents, (SELECT unnest(range(5)) AS t) _r"
+        ),
+        "events_windowed": (
+            "SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS w_start, event_type, "
+            "count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "top_events_per_user": (
+            "SELECT user_id, event_id, rn FROM ("
+            "SELECT user_id, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) "
+            "WHERE rn <= 2"
         ),
         "events_sessionize": (
             "SELECT event_id, user_id, "

@@ -1,0 +1,64 @@
+"""Conversation-scoped applyInPandas stages + flat cell view."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_strip_conv_boilerplate(spark):
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+
+    rows = []
+    # conv A: 4 turns, banner in every turn → banned
+    for t in range(4):
+        rows.append(("A", t, f"-- FOOTER --\ncontent {t}"))
+    # conv B: 2 turns (< min_turns) → nothing banned
+    for t in range(2):
+        rows.append(("B", t, f"-- FOOTER --\nother {t}"))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in strip_conv_boilerplate(df, ratio=0.6, min_turns=3).collect()
+    }
+    assert got[("A", 0)].text_stripped == "content 0"
+    assert got[("A", 3)].text_stripped == "content 3"
+    assert got[("A", 0)].n_banned_lines == 1
+    assert got[("B", 0)].text_stripped == "-- FOOTER --\nother 0"
+    assert got[("B", 0)].n_banned_lines == 0
+
+
+def test_strip_conv_boilerplate_partition_invariant(spark):
+    """Same output under different shuffle parallelism (whole-conv gather)."""
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+
+    rows = [("C", t, f"BANNER\nline {t}") for t in range(6)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    a = sorted(
+        (r.conv_id, r.turn_idx, r.text_stripped)
+        for r in strip_conv_boilerplate(df.repartition(1)).collect()
+    )
+    b = sorted(
+        (r.conv_id, r.turn_idx, r.text_stripped)
+        for r in strip_conv_boilerplate(df.repartition(7)).collect()
+    )
+    assert a == b
+
+
+def test_cells_flat_and_conv_metrics(spark):
+    from table_ocr_spark.operators.conv_scope import cells_flat, conv_metrics
+    from table_ocr_spark.operators.extract_job import with_extraction
+
+    md = "| a | b |\n| --- | --- |\n| c | d |"
+    df = spark.createDataFrame(
+        [("X", 0, md), ("X", 1, "plain prose"), ("Y", 0, md)],
+        "conv_id string, turn_idx int, text string",
+    )
+    ex = with_extraction(df)
+    flat = cells_flat(ex).collect()
+    keyed = {(r.conv_id, r.turn_idx, r.row_idx, r.col_idx): r.cell for r in flat}
+    assert keyed[("X", 0, 0, 0)] == "a" and keyed[("X", 0, 1, 1)] == "d"
+    assert ("X", 1, 0, 0) not in keyed  # prose turn contributes no cells
+    assert len(flat) == 8  # 2 tables × 2 rows × 2 cols
+
+    m = {r.conv_id: r for r in conv_metrics(ex).collect()}
+    assert m["X"].n_turns == 2 and m["X"].cell_count == 4
+    assert m["Y"].n_turns == 1 and m["Y"].cell_count == 4
