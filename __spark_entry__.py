@@ -154,6 +154,22 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import bpe_token_count_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count_col("text").alias("n_bpe_tokens")
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import rolling_fingerprint_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_fingerprint_col("text").alias("roll_fp")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import fingerprint_col
 
@@ -391,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -544,6 +562,15 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"SELECT doc_id, {_sql_lang_id()} AS lang_id FROM documents",
         "quality_score": f"SELECT doc_id, round({quality}, 6) AS quality FROM documents",
         "fingerprint": f"SELECT doc_id, {fingerprint} AS fingerprint FROM documents",
+        "token_count_bpe": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))::BIGINT"
+            " AS n_bpe_tokens FROM documents"
+        ),
+        "rolling_fingerprint": (
+            f"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform({_SQL_TOKS_L}, t -> {_SQL_HASH60.format(x='t')} % 2147483647)), "
+            f"(acc, w) -> (acc * 131 + w) % 2147483647) AS roll_fp FROM documents"
+        ),
         "exact_dedup": (
             f"SELECT {fingerprint} AS fingerprint, count(*)::BIGINT AS n_dups, min(doc_id) AS min_key "
             f"FROM ({dup_union}) GROUP BY 1 HAVING count(*) > 1"

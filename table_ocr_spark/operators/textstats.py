@@ -118,6 +118,44 @@ def quality_score_col(text: str = "text") -> Column:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols —
+# the shape of GPT-2's pre-tokenization split, engine-neutral regex
+# (\p{L}/\p{N} work in both Java regex and RE2).
+BPE_ISH_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def bpe_token_count_col(text: str = "text") -> Column:
+    """Sub-word-ish token count: letter runs + digit runs + symbols."""
+    return F.size(F.regexp_extract_all(F.col(text), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
+# Polynomial rolling hash: h = fold(h * B + w_i mod M) over word hashes.
+# M = 2^31-1 (Mersenne), B = 131: products stay far below 2^63, so the
+# arithmetic is exact in BIGINT on every engine.
+ROLL_B = 131
+ROLL_M = 2**31 - 1
+
+
+def rolling_fingerprint_col(text: str = "text") -> Column:
+    """Order-sensitive document fingerprint (md5 fingerprint is order-
+    insensitive-ish only to whitespace; this one distinguishes word order
+    and supports incremental/windowed variants)."""
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    word_h = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(ROLL_M)
+        ),
+    )
+    return F.aggregate(
+        word_h,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * ROLL_B + w, F.lit(ROLL_M)),
+    )
+
+
 def fingerprint_col(text: str = "text") -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text — the exact-dedup key. (Content-defined, layout-insensitive.)"""

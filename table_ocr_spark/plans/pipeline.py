@@ -32,6 +32,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as WindowSpec
 
 from table_ocr_spark.config import DEFAULT_CONFIG, ExtractorConfig
 from table_ocr_spark.operators.extract_job import bucket_expr, with_extraction
@@ -78,7 +79,9 @@ def _salted_bucketed(df: DataFrame, cfg: ExtractorConfig, n_buckets: int) -> Dat
         out = out.repartition(parts, "bucket", "_salt")
     else:
         out = out.repartition("bucket", "_salt")
-    return out.sortWithinPartitions("conv_id", "turn_idx").drop("_salt")
+    # no sort here: the post-extraction ordering window re-gathers by
+    # conv_id and sorts (conv_id, turn_idx) as part of its exchange
+    return out.drop("_salt")
 
 
 def run_extract(
@@ -119,6 +122,15 @@ def run_extract(
         ex = with_extraction(sub.select("conv_id", "turn_idx", "text", "bucket"), cfg)
         # with_extraction projects the fixed output schema; re-attach bucket
         ex = ex.withColumn("bucket", bucket_expr(n_buckets))
+        # north rule: stable turn ordering — the explicit
+        # Window.partitionBy(conv_id).orderBy(turn_idx) sequence number
+        # (also the per-conversation resume watermark for consumers).
+        # The window's exchange re-gathers each conversation AFTER the
+        # balanced extraction and leaves rows sorted by (conv_id, turn_idx)
+        # within tasks — which is exactly the on-disk order we want, so no
+        # extra sort or repartition precedes the write.
+        w_order = WindowSpec.partitionBy("conv_id").orderBy("turn_idx")
+        ex = ex.withColumn("turn_seq", F.row_number().over(w_order))
         (
             ex.write.mode("overwrite")
             .partitionBy("bucket")
