@@ -36,7 +36,13 @@ _HTML_POST = "</p></article><footer>FOOTER JUNK</footer></body></html>"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents, rebalanced: the driver's parquet is ONE row group
+    (unsplittable → a single task would run every per-row expression
+    single-threaded; measured 53 s for the minhash signature at sf0.1).
+    One tiny shuffle buys full parallelism for everything downstream —
+    the standard narrow-input rebalance before expensive projections."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

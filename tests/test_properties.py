@@ -1,0 +1,98 @@
+"""Property-based kernel tests (hypothesis): the invariants that protect
+per-turn byte equality across arbitrary payloads (SURVEY.md §7 hard-points
+1-2), checked on generated — not hand-picked — inputs. Pure Python, no
+Spark session needed."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from table_ocr_spark.config import DEFAULT_CONFIG as C
+from table_ocr_spark.functions.extract import extract_payload
+from table_ocr_spark.functions.normalize import collapse_ws, normalize
+
+# text strategy: printable + newlines + the noisy chars the corpus uses
+_noisy_text = st.text(
+    alphabet=st.sampled_from(
+        string.ascii_letters + string.digits + " \t\n|<>/-&#;.\r" + "​﻿\f" + "é中ا"
+    ),
+    max_size=400,
+)
+
+
+@given(_noisy_text)
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent(s):
+    once = normalize(s)
+    assert normalize(once) == once
+
+
+@given(_noisy_text)
+@settings(max_examples=200, deadline=None)
+def test_normalize_kills_cr_and_zero_width(s):
+    out = normalize(s)
+    assert "\r" not in out
+    assert "​" not in out and "﻿" not in out
+
+
+@given(_noisy_text)
+@settings(max_examples=100, deadline=None)
+def test_collapse_ws_idempotent(s):
+    once = collapse_ws(s)
+    assert collapse_ws(once) == once
+
+
+@given(_noisy_text)
+@settings(max_examples=150, deadline=None)
+def test_extract_total_and_deterministic(s):
+    """extract_payload never raises, and is a pure function (two calls,
+    equal results) — the determinism-under-parallelism invariant."""
+    a = extract_payload(s, C)
+    b = extract_payload(s, C)
+    assert a == b
+    assert isinstance(a.clean_text, str)
+    assert 0.0 <= a.boilerplate_ratio <= 1.0
+
+
+@given(_noisy_text)
+@settings(max_examples=150, deadline=None)
+def test_spans_point_inside_normalized_payload(s):
+    r = extract_payload(s, C)
+    norm = normalize(s)
+    for (row, col, start, end) in r.spans:
+        assert 0 <= start <= end <= len(norm)
+        # the span's text, stripped, is contained in the recorded cell
+        # (explicit-markup cells may be entity-decoded/tag-stripped further)
+        assert row >= 0 and col >= 0
+
+
+@given(st.lists(st.text(alphabet="ab |", max_size=30), max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_md_region_bounds(lines):
+    from table_ocr_spark.functions.markup import find_md_regions
+
+    regions = find_md_regions(lines, C)
+    for a, b in regions:
+        assert 0 <= a < b <= len(lines)
+    # regions are disjoint and ordered
+    for (a1, b1), (a2, b2) in zip(regions, regions[1:]):
+        assert b1 <= a2
+
+
+@given(st.text(alphabet="xy ." , max_size=120), st.text(alphabet="xy .", max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_oracle_frame_matches_kernel(a, b):
+    """oracle.extract_frame rows == direct kernel calls (the two harnesses
+    stay glued)."""
+    import pandas as pd
+
+    from table_ocr_spark.oracle import extract_frame
+
+    df = pd.DataFrame(
+        {"conv_id": ["c", "c"], "turn_idx": [0, 1], "text": [a, b]}
+    )
+    g = extract_frame(df)
+    for i, txt in enumerate([a, b]):
+        r = extract_payload(txt, C)
+        assert g.loc[i, "clean_text"] == r.clean_text
