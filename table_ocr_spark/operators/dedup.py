@@ -56,13 +56,17 @@ def word_shingles_col(text: str = "text", n: int = 2) -> Column:
     if n == 1:
         sh = toks
     else:
-        # sequence over start positions; element_at is 1-based
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-        sh = F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-            ),
+        # sequence over start positions; element_at is 1-based.
+        # NB sequence(1, 0) yields a DESCENDING [1, 0] — short docs must
+        # short-circuit to an empty array, not an empty sequence.
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+                ),
+            )
         )
     return F.array_sort(F.array_distinct(sh))
 
