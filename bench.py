@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CORPUS_VERSION = "v1"
+CORPUS_VERSION = "v2"
 # conversations per SF step (turns ≈ convs × ~23 with the heavy tail)
 SF_CONVS = {"sf0.001": 50, "sf0.01": 500, "sf0.1": 4500}
 

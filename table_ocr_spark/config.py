@@ -74,6 +74,11 @@ class ExtractorConfig:
     page_header_min_pages: int = 2
     page_repeat_ratio: float = 0.6
 
+    # --- global Otsu density threshold (≈ OtsuThresholder,
+    #     preprocessors.py:403-481); off by default: the default pipeline
+    #     (and committed golden) uses only the local/repeat classifiers ---
+    use_otsu: bool = False
+
     # --- normalizer (≈ OCR knobs l/dpi/psm/oem, detectors.py:767-890: in the
     #     text domain recognition degenerates to cleanup) ---
     normalize_unicode: bool = True

@@ -190,6 +190,16 @@ def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]
             break
 
     n_pages = page + 1
+    # optional global density threshold (Otsu analog): drop low-density
+    # boilerplate lines before structural analysis
+    if cfg.use_otsu:
+        from table_ocr_spark.functions.threshold import otsu_line_filter
+
+        keep_flags = otsu_line_filter(all_lines)
+        all_lines = [ln for ln, k in zip(all_lines, keep_flags) if k]
+        all_offs = [o for o, k in zip(all_offs, keep_flags) if k]
+        page_of = [p for p, k in zip(page_of, keep_flags) if k]
+
     page_lines: List[List[str]] = [[] for _ in range(n_pages)]
     for ln, pg in zip(all_lines, page_of):
         page_lines[pg].append(ln)

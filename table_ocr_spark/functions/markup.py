@@ -147,18 +147,28 @@ def _is_md_rule(line: str) -> bool:
     return len(segs) >= 1 and all(_MD_RULE_CELL_RE.match(s or "-") for s, _ in segs) and "-" in line
 
 
-def _split_pipe_row(line: str) -> List[Tuple[str, int]]:
+def _split_pipe_row(line: str, min_sep: int = 1) -> List[Tuple[str, int]]:
     """Split a pipe-delimited row → [(segment, start_col)].
 
     Leading/trailing edge pipes are border lines (sentinel separators,
     detectors.py:300-329): the segments outside them are empty and dropped.
+    Near-duplicate separators closer than ``min_sep`` are deduped — the
+    sort+lag overlap filter (``_filter_overlapping_lines``,
+    detectors.py:258-298): ``||`` is one ruling drawn twice, not an empty
+    cell.
     """
     segs: List[Tuple[str, int]] = []
     start = 0
+    prev_sep = None
     for i, ch in enumerate(line):
         if ch == "|":
+            if prev_sep is not None and i - prev_sep <= min_sep:
+                prev_sep = i  # overlapping ruling: slide, don't split
+                start = i + 1
+                continue
             segs.append((line[start:i], start))
             start = i + 1
+            prev_sep = i
     segs.append((line[start:], start))
     # drop empty edge segments created by border pipes
     if segs and segs[0][0].strip() == "":
@@ -228,7 +238,7 @@ def extract_markdown(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[st
             continue
         if _is_md_rule(ln):
             continue  # horizontal separator line, not content
-        segs = _split_pipe_row(ln)
+        segs = _split_pipe_row(ln, cfg.sep_min_separation)
         row_cells: List[str] = []
         row_spans: List[Span] = []
         for col_idx, (seg, seg_start) in enumerate(segs):

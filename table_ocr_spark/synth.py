@@ -138,6 +138,10 @@ _KIND_CUTS = (("plain", 0.40), ("html_page", 0.65), ("md_table", 0.80), ("pdf_la
 def payload_for(conv_id: str, turn_idx: int) -> Tuple[str, str]:
     """(kind, text) for one turn — pure function of the key."""
     rng = _rng_for(conv_id, turn_idx)
+    # one ~1 MB outlier per corpus (FIXTURES.md §1: payload sizes 0.1-50 KB,
+    # one ~1 MB outlier per SF step) — the Arrow-batch memory-bound test case
+    if turn_idx == 0 and conv_id.endswith("-00000000"):
+        return "outlier", _sentence(rng, 170_000)
     x = rng.random()
     kind = next(k for k, cut in _KIND_CUTS if x < cut)
     if kind == "plain":

@@ -44,4 +44,11 @@ def test_skew_heavy_tail():
 def test_all_payload_kinds_present():
     df = synth.gen_pandas(60, seed=42)
     kinds = {synth.payload_for(c, t)[0] for c, t in zip(df["conv_id"], df["turn_idx"])}
-    assert kinds == {"plain", "html_page", "md_table", "pdf_layout", "noisy"}
+    assert kinds == {"plain", "html_page", "md_table", "pdf_layout", "noisy", "outlier"}
+
+
+def test_megabyte_outlier_present_once():
+    df = synth.gen_pandas(30, seed=42)
+    big = df[df["text"].str.len() > 500_000]
+    assert len(big) == 1  # FIXTURES.md: one ~1 MB outlier per SF step
+    assert big.iloc[0]["turn_idx"] == 0 and big.iloc[0]["conv_id"].endswith("-00000000")
