@@ -359,6 +359,68 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end extraction + aggregation: per-mode turn counts + average
+    boilerplate ratio over a mixed corpus (html-wrapped evens, md-table
+    odds) — the conv_metrics/lineage-style rollup with an exact oracle."""
+    d = _docs(spark, sf_dir)
+    html = _html_wrapped(d.filter(F.col("doc_id") % 2 == 0))
+    md = _md_payload(d.filter(F.col("doc_id") % 2 == 1))
+    from table_ocr_spark.operators.extract_job import with_extraction
+
+    ex = with_extraction(_as_transcripts(html.unionByName(md)).select("conv_id", "turn_idx", "text"))
+    return ex.groupBy("mode").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.size("cells")).cast("long").alias("total_rows"),
+    )
+
+
+def q_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-side predicate band + single aggregate
+    (the filter-pushdown showcase)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + group count."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey").distinct()
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: customer segment revenue (broadcast the dim side)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    return (
+        o.join(rev, o.o_orderkey == rev.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational fringe: TPC-H Q1-style aggregate (bench headliner)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -427,7 +489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
+        "extract_mode_stats": q_extract_mode_stats,
         "q1_pricing_summary": q_q1_pricing_summary,
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "order_priority_counts": q_order_priority_counts,
+        "segment_revenue": q_segment_revenue,
         "top_revenue_orders": q_top_revenue_orders,
     }
 
@@ -644,6 +710,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT event_id, user_id, ts, "
             "floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events)"
+        ),
+        "extract_mode_stats": (
+            # html-wrapped evens → explicit_markup, 0 table rows (no <table>);
+            # md-table odds → explicit_markup with 3 rows each. All rows land
+            # in one mode → single-row result.
+            "SELECT 'explicit_markup' AS mode, count(*)::BIGINT AS n_turns, "
+            "(3 * sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END))::BIGINT AS total_rows "
+            "FROM documents"
+        ),
+        "q6_revenue_delta": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+            "count(*)::BIGINT AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "order_priority_counts": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS order_count FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) "
+            "GROUP BY o_orderpriority"
+        ),
+        "segment_revenue": (
+            "SELECT c_mktsegment, round(sum(rev), 2) AS revenue, count(*)::BIGINT AS n_orders "
+            "FROM orders JOIN (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev "
+            "FROM lineitem GROUP BY l_orderkey) r ON o_orderkey = l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

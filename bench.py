@@ -153,7 +153,11 @@ def main() -> int:
         "simhash",
         "cosine_scores",
         "events_sessionize",
+        "extract_mode_stats",
         "q1_pricing_summary",
+        "q6_revenue_delta",
+        "order_priority_counts",
+        "segment_revenue",
         "top_revenue_orders",
     ]
     qs = contract.queries()
