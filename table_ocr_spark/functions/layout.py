@@ -72,9 +72,17 @@ def strip_running_lines(pages: List[List[str]], cfg: ExtractorConfig) -> List[Li
     return [[ln for ln in page if ln.strip() not in banned] for page in pages]
 
 
-def token_boxes(line: str, cfg: ExtractorConfig) -> List[Tuple[int, int]]:
+def token_boxes(
+    line: str, cfg: ExtractorConfig, _cache: dict | None = None
+) -> List[Tuple[int, int]]:
     """Solid boxes of one line: (start_col, end_col) of non-space runs after
-    fusion, size-filtered."""
+    fusion, size-filtered. ``_cache`` (keyed by line content) lets one
+    extract_layout call tokenize each line once instead of 3-4× — the
+    profiled hot path of the heuristic mode."""
+    if _cache is not None:
+        hit = _cache.get(line)
+        if hit is not None:
+            return hit
     boxes: List[Tuple[int, int]] = []
     for m in _TOKEN_RE.finditer(line):
         s, e = m.start(), m.end()
@@ -82,20 +90,28 @@ def token_boxes(line: str, cfg: ExtractorConfig) -> List[Tuple[int, int]]:
             boxes[-1] = (boxes[-1][0], e)  # Dilate fusion
         else:
             boxes.append((s, e))
-    return [(s, e) for s, e in boxes if cfg.min_token_len <= e - s <= cfg.max_token_len]
+    out = [(s, e) for s, e in boxes if cfg.min_token_len <= e - s <= cfg.max_token_len]
+    if _cache is not None:
+        _cache[line] = out
+    return out
 
 
-def is_table_line(line: str, cfg: ExtractorConfig) -> bool:
+def is_table_line(line: str, cfg: ExtractorConfig, _cache: dict | None = None) -> bool:
     """A line participates in a fixed-width grid when it has ≥ min_columns
     fused boxes separated by multi-space gaps."""
-    boxes = token_boxes(line, cfg)
+    boxes = token_boxes(line, cfg, _cache)
     return len(boxes) >= cfg.min_columns and bool(_MULTI_GAP_RE.search(line))
 
 
-def find_layout_regions(lines: List[str], cfg: ExtractorConfig) -> List[Tuple[int, int]]:
+def find_layout_regions(
+    lines: List[str],
+    cfg: ExtractorConfig,
+    flags: List[bool] | None = None,
+) -> List[Tuple[int, int]]:
     """Maximal runs of table lines (gaps ≤ fuse_line_gap blank/short lines),
     accepted at ≥ sep_min_run table lines."""
-    flags = [is_table_line(ln, cfg) for ln in lines]
+    if flags is None:
+        flags = [is_table_line(ln, cfg) for ln in lines]
     regions: List[Tuple[int, int]] = []
     i, n = 0, len(lines)
     while i < n:
@@ -122,7 +138,11 @@ def find_layout_regions(lines: List[str], cfg: ExtractorConfig) -> List[Tuple[in
     return regions
 
 
-def vote_column_intervals(region_lines: List[str], cfg: ExtractorConfig) -> List[Tuple[int, int]]:
+def vote_column_intervals(
+    region_lines: List[str],
+    cfg: ExtractorConfig,
+    region_flags: List[bool] | None = None,
+) -> List[Tuple[int, int]]:
     """Hough-style voting for vertical separators over a region.
 
     Builds the whitespace occupancy matrix, votes a char column as separator
@@ -130,7 +150,9 @@ def vote_column_intervals(region_lines: List[str], cfg: ExtractorConfig) -> List
     ≥ min_gap_width wide, and returns the cell column intervals between
     them (with sentinel borders at 0 and max width).
     """
-    table_lines = [ln for ln in region_lines if is_table_line(ln, cfg)]
+    if region_flags is None:
+        region_flags = [is_table_line(ln, cfg) for ln in region_lines]
+    table_lines = [ln for ln, f in zip(region_lines, region_flags) if f]
     if not table_lines:
         return []
     width = max(len(ln) for ln in table_lines)
@@ -218,21 +240,25 @@ def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]
             line_offs.append(all_offs[idx])
             cursors[pg] = ci + 1
 
-    regions = find_layout_regions(lines, cfg)
+    box_cache: dict = {}
+    flags = [is_table_line(ln, cfg, box_cache) for ln in lines]
+    regions = find_layout_regions(lines, cfg, flags=flags)
     in_table = [False] * len(lines)
     region_of = {}
     for ri, (a, b) in enumerate(regions):
         for k in range(a, b):
             in_table[k] = True
             region_of[k] = ri
-    region_intervals = [vote_column_intervals(lines[a:b], cfg) for a, b in regions]
+    region_intervals = [
+        vote_column_intervals(lines[a:b], cfg, region_flags=flags[a:b]) for a, b in regions
+    ]
 
     cells: List[List[str]] = []
     spans: List[Span] = []
     clean_lines: List[str] = []
     row_idx = 0
     for k, ln in enumerate(lines):
-        if not in_table[k] or not is_table_line(ln, cfg):
+        if not in_table[k] or not flags[k]:
             clean_lines.append(ln)
             continue
         intervals = region_intervals[region_of[k]]
@@ -240,7 +266,7 @@ def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]
         # (the `x // cell_threshold` binning idiom, detectors.py:646-651):
         # a cell owns every box starting inside its interval, so content
         # overflowing a narrow column is never truncated.
-        boxes = token_boxes(ln, cfg)
+        boxes = token_boxes(ln, cfg, box_cache)
         starts = [a for a, _ in intervals]
         by_col: dict = {}
         for bs, be in boxes:
