@@ -113,12 +113,16 @@ def main() -> int:
     # ZERO shuffles. Per-turn extraction is embarrassingly parallel; balance
     # comes from scan partitioning. (The skew-salting shuffle belongs to the
     # bucketed WRITE path — benched separately below as extract_salted.)
-    extract_sec = _best_of(2, lambda: with_extraction(src))
+    # best-of-3 for the two headline numbers: this VM shows episodic
+    # multi-second steal bursts (observed 6.4 s vs 48.7 s for the same
+    # query back-to-back); one extra rep costs ~10 s and keeps a single
+    # stall from defining the round's headline
+    extract_sec = _best_of(3, lambda: with_extraction(src))
     timings["extract_flagship"] = round(extract_sec, 3)
     # selective skew salting (only heavy conversations shuffle) + extraction:
     # the compute shape of the pipeline's pre-write balancing
     salted_sec = _best_of(
-        2, lambda: with_extraction(salted_repartition(src, num_partitions=cpus * 2))
+        3, lambda: with_extraction(salted_repartition(src, num_partitions=cpus * 2))
     )
     timings["extract_salted"] = round(salted_sec, 3)
 
