@@ -217,6 +217,21 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped LSH: 60 injected clones of one boilerplate page
+    form a bucket of 60 in every band (the pathological near-identical-
+    boilerplate shape); cap 50 drops those buckets — zero clone pairs,
+    O(n²) blowup bounded — while ordinary dup pairs all survive."""
+    from table_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _with_dups(_docs(spark, sf_dir)).select("doc_id", "text")
+    clones = spark.range(60).select(
+        (F.col("id") + 2000000).alias("doc_id"),
+        F.lit("the same boilerplate page appears everywhere").alias("text"),
+    )
+    return minhash_lsh_pairs(d.unionByName(clones), max_bucket_size=50)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.dedup import simhash_col
 
@@ -480,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_scores": q_cosine_scores,
@@ -605,10 +621,12 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
     )
     sig_expr = _sql_minhash_sig()
+    # sig[1] IS NULL ⇔ the doc has no shingles (short doc) — filtered out
+    # before banding, mirroring _lsh_banded's NULL-signature filter
     band_bucket = (
         "SELECT doc_id, band, "
         "sig[band * 2 + 1]::VARCHAR || ':' || sig[band * 2 + 2]::VARCHAR AS bucket "
-        "FROM sigs, (SELECT unnest(range(4)) AS band) _b"
+        "FROM sigs, (SELECT unnest(range(4)) AS band) _b WHERE sig[1] IS NOT NULL"
     )
 
     return {
@@ -660,6 +678,24 @@ def oracle_sql() -> dict[str, str]:
             f"banded AS ({band_bucket}) "
             f"SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "
             f"FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        ),
+        "minhash_lsh_capped": (
+            f"WITH docs2 AS ({dup_union} "
+            "UNION ALL SELECT 2000000 + k AS doc_id, "
+            "'the same boilerplate page appears everywhere' AS text "
+            "FROM (SELECT unnest(range(60)) AS k)), "
+            f"sigs AS (SELECT doc_id, (SELECT list_value("
+            + ", ".join(
+                "list_min(list_transform(sh, s -> " + _SQL_HASH60.format(x=f"s || '#{j}'") + "))"
+                for j in range(8)
+            )
+            + f") FROM (SELECT list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
+            f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1])) AS sh) _s) AS sig FROM docs2), "
+            f"banded AS ({band_bucket}), "
+            "sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) "
+            "SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "
+            "FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id WHERE a.bsz <= 50"
         ),
         "simhash": f"SELECT doc_id, {_sql_simhash(16)} AS simhash FROM documents",
         "ngram_jaccard": (

@@ -93,28 +93,30 @@ def minhash_signature_col(text: str = "text", k: int = 8, shingle_n: int = 2) ->
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text: str = "text",
-    key: str = "doc_id",
-    k: int = 8,
-    bands: int = 4,
-    shingle_n: int = 2,
+def _lsh_banded(
+    df: DataFrame, text: str, key: str, k: int, bands: int, shingle_n: int
 ) -> DataFrame:
-    """Candidate near-dup pairs: equal MinHash band in ≥1 of ``bands`` bands.
+    """(key, band, bucket) rows — one per doc × band.
 
-    signature[k] → bands of k/bands values → explode → groupBy band bucket →
-    self-join inside buckets (key_a < key_b), distinct pairs.
+    Docs with no shingles (fewer than ``shingle_n`` tokens, or NULL text)
+    get an all-NULL signature; left in, concat_ws would silently drop the
+    NULLs and collapse every such doc into bucket '' in every band — false
+    candidates and a quadratic self-join blowup on short docs at scale —
+    so they are filtered out before banding (mirrored in the SQL oracle).
     """
     rows_per_band = k // bands
     # Exchange after the signature projection: (1) CollapseProject cannot
     # re-inline the expensive sig expression into each of the 2×bands
     # element_at references below, (2) ReuseExchange computes the subtree
     # ONCE for both sides of the self-join (observed 35 s → ~2 s at sf0.01).
-    sig = df.select(
-        F.col(key).alias("k"), minhash_signature_col(text, k, shingle_n).alias("sig")
-    ).repartition("k")
-    banded = sig.select(
+    sig = (
+        df.select(
+            F.col(key).alias("k"), minhash_signature_col(text, k, shingle_n).alias("sig")
+        )
+        .filter(F.element_at("sig", 1).isNotNull())
+        .repartition("k")
+    )
+    return sig.select(
         "k",
         F.explode(
             F.array(
@@ -134,12 +136,64 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("k", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: equal MinHash band in ≥1 of ``bands`` bands.
+
+    signature[k] → bands of k/bands values → explode → groupBy band bucket →
+    self-join inside buckets (key_a < key_b), distinct pairs.
+
+    ``max_bucket_size`` bounds the within-bucket self-join: a bucket of n
+    docs emits O(n²) pairs, and at 100 TB near-identical boilerplate makes
+    million-row buckets — AQE rebalances the join but cannot bound the pair
+    COUNT.  Buckets above the cap are dropped from pairing (every member
+    still pairs through its other bands unless those are oversized too);
+    ``lsh_oversized_buckets`` returns the dropped buckets for a quarantine
+    sink so the drop is observable, not silent.
+    """
+    banded = _lsh_banded(df, text, key, k, bands, shingle_n)
+    if max_bucket_size is not None:
+        wsz = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.k") < F.col("b.k")))
         .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
         .distinct()
+    )
+
+
+def lsh_oversized_buckets(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The quarantine view: (band, bucket, bucket_size) of buckets the
+    capped pairing dropped — write it next to the pairs output so scale
+    runs can audit what was skipped (no silent truncation)."""
+    banded = _lsh_banded(df, text, key, k, bands, shingle_n)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )
 
 

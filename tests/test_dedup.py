@@ -110,3 +110,33 @@ def test_jaccard_words(spark, docs_df):
     )
     got = [r.j for r in df.select(F.round(jaccard_words_col(F.col("x"), F.col("y")), 6).alias("j")).collect()]
     assert got == [1.0, 0.5, 0.0]
+
+
+def test_lsh_short_docs_no_false_buckets(spark):
+    """Docs with < shingle_n tokens have NULL signatures; they must produce
+    ZERO candidate pairs (pre-fix they all collapsed into bucket '')."""
+    from table_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "solo") for i in range(10)] + [(100, None), (101, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_lsh_pairs(df).count() == 0
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark, docs_df):
+    """A pathological all-identical corpus stays bounded under the cap and
+    the dropped buckets are observable via the quarantine view."""
+    from table_ocr_spark.operators.dedup import lsh_oversized_buckets, minhash_lsh_pairs
+
+    clones = spark.range(40).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit("identical boilerplate page body").alias("text"),
+    )
+    corpus = docs_df.unionByName(clones)
+    uncapped = minhash_lsh_pairs(corpus).count()
+    capped = minhash_lsh_pairs(corpus, max_bucket_size=10)
+    n_capped = capped.count()
+    # clone pairs (40*39/2 = 780 per-band candidates) are gone; the small
+    # organic buckets (dup/near-dup of DOCS) survive
+    assert n_capped < uncapped and n_capped == 3  # (0,1), (0,3), (1,3)
+    over = lsh_oversized_buckets(corpus, max_bucket_size=10).collect()
+    assert len(over) == 4 and all(r.bucket_size == 40 for r in over)
