@@ -73,6 +73,31 @@ def _md_payload(df: DataFrame) -> DataFrame:
     )
 
 
+_LAYOUT_HDR = "NAME        VALUE\n"  # col 0 fixed-width 12, ≥2-space gap
+
+
+def _layout_payload(df: DataFrame) -> DataFrame:
+    """Fixed-width two-column layout built from the doc's first four words:
+
+        NAME        VALUE
+        w1          w2
+        w3          w4
+
+    Column 0 is rpad(substr(w, 1, 10), 12) so the inter-column gap is
+    always ≥ 2 spaces — the whitespace-column the heuristic mode's Hough-
+    style voting (functions/layout.vote_column_intervals) must find.
+    Exercises the reference's default CLI branch analog
+    (ML_SINGLE_COLUMN_TABLE, main.py:124-181): token boxes, column voting,
+    sentinel borders, min_columns, span slicing."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = lambda i: F.element_at(toks, i)  # noqa: E731
+    c0 = lambda i: F.rpad(F.substring(w(i), 1, 10), 12, " ")  # noqa: E731
+    return df.withColumn(
+        "payload",
+        F.concat(F.lit(_LAYOUT_HDR), c0(1), w(2), F.lit("\n"), c0(3), w(4)),
+    )
+
+
 def _as_transcripts(df: DataFrame) -> DataFrame:
     """documents → transcript shape expected by the extraction operator."""
     return df.select(
@@ -137,6 +162,50 @@ def q_extract_md_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["col"].cast("long").alias("span_col"),
         s["start"].cast("long").alias("span_start"),
         s["end"].cast("long").alias("span_end"),
+    )
+
+
+def q_extract_layout_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-layout grid extraction (contour analog, auto-classified):
+    whitespace-column voting over a fixed-width payload."""
+    ex = _extracted(spark, sf_dir, _layout_payload)
+    return ex.select(
+        "doc_id",
+        "mode",
+        F.size("cells").cast("long").alias("n_rows"),
+        F.aggregate(F.transform("cells", F.size), F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("n_cells"),
+        F.element_at(F.element_at("cells", 1), 1).alias("cell_00"),
+        F.element_at(F.element_at("cells", 2), 1).alias("cell_10"),
+        F.element_at(F.element_at("cells", 3), 2).alias("cell_21"),
+    )
+
+
+def q_extract_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-mode cell spans (offsets into the normalized payload):
+    row 1's two cells — col 0 at the line start, col 1 at the fixed
+    column offset 12."""
+    ex = _extracted(spark, sf_dir, _layout_payload)
+    s3 = F.element_at("spans", 3)  # row 1, col 0
+    s4 = F.element_at("spans", 4)  # row 1, col 1
+    return ex.select(
+        "doc_id",
+        s3["row"].cast("long").alias("r1c0_row"),
+        s3["start"].cast("long").alias("r1c0_start"),
+        s3["end"].cast("long").alias("r1c0_end"),
+        s4["col"].cast("long").alias("r1c1_col"),
+        s4["start"].cast("long").alias("r1c1_start"),
+        s4["end"].cast("long").alias("r1c1_end"),
+    )
+
+
+def q_extract_layout_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-mode clean text (grid rows re-emitted single-spaced) +
+    boilerplate ratio (padding removed / payload length)."""
+    ex = _extracted(spark, sf_dir, _layout_payload)
+    return ex.select(
+        "doc_id", "clean_text", F.round("boilerplate_ratio", 4).alias("bp_ratio")
     )
 
 
@@ -486,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_mode_ratio": q_extract_html_mode_ratio,
         "extract_md_cells": q_extract_md_cells,
         "extract_md_spans": q_extract_md_spans,
+        "extract_layout_cells": q_extract_layout_cells,
+        "extract_layout_spans": q_extract_layout_spans,
+        "extract_layout_clean": q_extract_layout_clean,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -647,6 +719,29 @@ def oracle_sql() -> dict[str, str]:
             # line 3 starts at offset 12+14=26; first cell starts at 26+2
             f"SELECT doc_id, 1::BIGINT AS span_row, 0::BIGINT AS span_col, "
             f"28::BIGINT AS span_start, (28 + length({w(1)}))::BIGINT AS span_end FROM documents"
+        ),
+        "extract_layout_cells": (
+            f"SELECT doc_id, 'heuristic_layout' AS mode, 3::BIGINT AS n_rows, "
+            f"6::BIGINT AS n_cells, 'NAME' AS cell_00, "
+            f"substr({w(1)}, 1, 10) AS cell_10, {w(4)} AS cell_21 FROM documents"
+        ),
+        "extract_layout_spans": (
+            # payload: 'NAME        VALUE\n' (line 1 starts at 18) with col 1
+            # at fixed offset 12 within each 'rpad(c0,12) || c1' line
+            f"SELECT doc_id, 1::BIGINT AS r1c0_row, 18::BIGINT AS r1c0_start, "
+            f"(18 + length(substr({w(1)}, 1, 10)))::BIGINT AS r1c0_end, "
+            f"1::BIGINT AS r1c1_col, 30::BIGINT AS r1c1_start, "
+            f"(30 + length({w(2)}))::BIGINT AS r1c1_end FROM documents"
+        ),
+        "extract_layout_clean": (
+            "SELECT doc_id, clean AS clean_text, "
+            "round(1.0 - length(clean)::DOUBLE / length(payload)::DOUBLE, 4) AS bp_ratio "
+            "FROM (SELECT doc_id, "
+            f"'NAME VALUE' || chr(10) || substr({w(1)}, 1, 10) || ' ' || {w(2)} || chr(10) "
+            f"|| substr({w(3)}, 1, 10) || ' ' || {w(4)} AS clean, "
+            f"'NAME        VALUE' || chr(10) || rpad(substr({w(1)}, 1, 10), 12, ' ') || {w(2)} "
+            f"|| chr(10) || rpad(substr({w(3)}, 1, 10), 12, ' ') || {w(4)} AS payload "
+            "FROM documents)"
         ),
         "token_count": f"SELECT doc_id, {n_tok} AS n_tokens FROM documents",
         "lang_id": f"SELECT doc_id, {_sql_lang_id()} AS lang_id FROM documents",
