@@ -108,11 +108,12 @@ def _as_transcripts(df: DataFrame) -> DataFrame:
     )
 
 
-def _extracted(spark, sf_dir, payload_builder) -> DataFrame:
+def _extracted(spark, sf_dir, payload_builder, cfg=None) -> DataFrame:
+    from table_ocr_spark.config import DEFAULT_CONFIG
     from table_ocr_spark.operators.extract_job import with_extraction
 
     t = _as_transcripts(payload_builder(_docs(spark, sf_dir)))
-    ex = with_extraction(t.select("conv_id", "turn_idx", "text"))
+    ex = with_extraction(t.select("conv_id", "turn_idx", "text"), cfg or DEFAULT_CONFIG)
     return ex.withColumn("doc_id", F.col("conv_id").cast("long"))
 
 
@@ -162,6 +163,54 @@ def q_extract_md_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["col"].cast("long").alias("span_col"),
         s["start"].cast("long").alias("span_start"),
         s["end"].cast("long").alias("span_end"),
+    )
+
+
+def _md_punct_payload(df: DataFrame) -> DataFrame:
+    """Markdown table whose data cells carry punctuation, so the per-cell
+    recognizer confidence (hOCR x_wconf analog) is non-trivial:
+    row 1 = [ w1!!, (w2) ]."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = lambda i: F.element_at(toks, i)  # noqa: E731
+    return df.withColumn(
+        "payload",
+        F.concat(
+            F.lit("| a! | b? |\n| --- | --- |\n| "),
+            w(1), F.lit("!! | ("), w(2), F.lit(") |"),
+        ),
+    )
+
+
+def q_extract_md_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell recognizer confidence: plain-char fraction of the
+    recognized cell text, carried on every span."""
+    ex = _extracted(spark, sf_dir, _md_punct_payload)
+    s3 = F.element_at("spans", 3)  # row 1, col 0: 'w1!!'
+    s4 = F.element_at("spans", 4)  # row 1, col 1: '(w2)'
+    return ex.select(
+        "doc_id",
+        F.element_at(F.element_at("cells", 2), 1).alias("cell_10"),
+        F.round(s3["conf"], 6).alias("conf_10"),
+        F.round(s4["conf"], 6).alias("conf_11"),
+    )
+
+
+def q_extract_layout_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `x // cell_threshold` column binning
+    (detectors.py:646-651) as a config-selected strategy: columns at
+    offsets 0 and 12 with cell_threshold=10 land in bins 0 and 1 —
+    the same grid the voted strategy finds on this payload."""
+    from table_ocr_spark.config import ExtractorConfig
+
+    cfg = ExtractorConfig(
+        name="binned", mode="heuristic_layout", column_strategy="bin", cell_threshold=10
+    )
+    ex = _extracted(spark, sf_dir, _layout_payload, cfg=cfg)
+    return ex.select(
+        "doc_id",
+        F.size("cells").cast("long").alias("n_rows"),
+        F.element_at(F.element_at("cells", 2), 1).alias("cell_10"),
+        F.element_at(F.element_at("cells", 3), 2).alias("cell_21"),
     )
 
 
@@ -558,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_layout_cells": q_extract_layout_cells,
         "extract_layout_spans": q_extract_layout_spans,
         "extract_layout_clean": q_extract_layout_clean,
+        "extract_layout_binned": q_extract_layout_binned,
+        "extract_md_conf": q_extract_md_conf,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -719,6 +770,17 @@ def oracle_sql() -> dict[str, str]:
             # line 3 starts at offset 12+14=26; first cell starts at 26+2
             f"SELECT doc_id, 1::BIGINT AS span_row, 0::BIGINT AS span_col, "
             f"28::BIGINT AS span_start, (28 + length({w(1)}))::BIGINT AS span_end FROM documents"
+        ),
+        "extract_md_conf": (
+            # conf = plain-char fraction: 'w1!!' → len/(len+2); '(w2)' → len/(len+2)
+            f"SELECT doc_id, {w(1)} || '!!' AS cell_10, "
+            f"round(length({w(1)})::DOUBLE / (length({w(1)}) + 2), 6) AS conf_10, "
+            f"round(length({w(2)})::DOUBLE / (length({w(2)}) + 2), 6) AS conf_11 "
+            f"FROM documents"
+        ),
+        "extract_layout_binned": (
+            f"SELECT doc_id, 3::BIGINT AS n_rows, "
+            f"substr({w(1)}, 1, 10) AS cell_10, {w(4)} AS cell_21 FROM documents"
         ),
         "extract_layout_cells": (
             f"SELECT doc_id, 'heuristic_layout' AS mode, 3::BIGINT AS n_rows, "

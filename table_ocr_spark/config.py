@@ -50,6 +50,10 @@ class ExtractorConfig:
     sep_min_separation: int = 1
 
     # --- heuristic grid clustering (≈ ContourLinesDetector, detectors.py:593-711) ---
+    # column_strategy "vote" = whitespace-column Hough voting (our default);
+    # "bin" = the reference's integer binning `x // cell_threshold`
+    # (detectors.py:646-651) — cell_threshold is live only in bin mode
+    column_strategy: str = "vote"
     cell_threshold: int = 10
     min_columns: int = 2
     min_token_len: int = 1
@@ -79,8 +83,12 @@ class ExtractorConfig:
     #     (and committed golden) uses only the local/repeat classifiers ---
     use_otsu: bool = False
 
-    # --- normalizer (≈ OCR knobs l/dpi/psm/oem, detectors.py:767-890: in the
-    #     text domain recognition degenerates to cleanup) ---
+    # --- recognizer (≈ TesseractOCR knobs l/dpi/psm/oem, detectors.py:767-890:
+    #     in the text domain recognition degenerates to cleanup; pluggable by
+    #     name — functions/recognize.py registry) ---
+    recognizer: str = "cleanup"
+
+    # --- normalizer ---
     normalize_unicode: bool = True
     strip_zero_width: bool = True
     collapse_whitespace: bool = True
@@ -107,5 +115,8 @@ class ExtractorConfig:
 DEFAULT_CONFIG = ExtractorConfig()
 
 # An alternate config used by tests to prove config-sensitivity and that
-# lineage stamps distinct config hashes (FIXTURES.md §3).
-ALT_CONFIG = ExtractorConfig(name="alt", min_columns=3, cell_threshold=4)
+# lineage stamps distinct config hashes (FIXTURES.md §3).  bin strategy
+# makes cell_threshold live (reference binning, detectors.py:646-651).
+ALT_CONFIG = ExtractorConfig(
+    name="alt", min_columns=3, cell_threshold=4, column_strategy="bin"
+)

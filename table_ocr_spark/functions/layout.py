@@ -39,8 +39,10 @@ from typing import List, Tuple
 import numpy as np
 
 from table_ocr_spark.config import ExtractorConfig
+from table_ocr_spark.functions.recognize import get_recognizer
+from table_ocr_spark.functions.threshold import adaptive_line_filter
 
-Span = Tuple[int, int, int, int]  # (row, col, start, end)
+Span = Tuple[int, int, int, int, float]  # (row, col, start, end, conf)
 
 _TOKEN_RE = re.compile(r"\S+")
 _MULTI_GAP_RE = re.compile(r"\S(?:  +)\S")
@@ -249,9 +251,21 @@ def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]
         for k in range(a, b):
             in_table[k] = True
             region_of[k] = ri
-    region_intervals = [
-        vote_column_intervals(lines[a:b], cfg, region_flags=flags[a:b]) for a, b in regions
-    ]
+    use_bins = cfg.column_strategy == "bin" and cfg.cell_threshold > 0
+    region_intervals = (
+        []
+        if use_bins
+        else [
+            vote_column_intervals(lines[a:b], cfg, region_flags=flags[a:b])
+            for a, b in regions
+        ]
+    )
+    # local adaptive threshold (GaussianAdaptiveThresholder analog,
+    # preprocessors.py:313-400): prose lines sparser than their block_size
+    # neighborhood − density_constant are background; grid rows are exempt
+    # (a detected table row is definite content)
+    keep_local = adaptive_line_filter(lines, cfg.block_size, cfg.density_constant)
+    recognize = get_recognizer(cfg.recognizer)
 
     cells: List[List[str]] = []
     spans: List[Span] = []
@@ -259,43 +273,50 @@ def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]
     row_idx = 0
     for k, ln in enumerate(lines):
         if not in_table[k] or not flags[k]:
-            clean_lines.append(ln)
+            if keep_local[k]:
+                clean_lines.append(ln)
             continue
-        intervals = region_intervals[region_of[k]]
-        # Assign fused token boxes to voted column intervals by box START
-        # (the `x // cell_threshold` binning idiom, detectors.py:646-651):
-        # a cell owns every box starting inside its interval, so content
-        # overflowing a narrow column is never truncated.
         boxes = token_boxes(ln, cfg, box_cache)
-        starts = [a for a, _ in intervals]
         by_col: dict = {}
-        for bs, be in boxes:
-            ci = 0
-            for ii, a in enumerate(starts):
-                if bs >= a:
-                    ci = ii
-                else:
-                    break
-            by_col.setdefault(ci, []).append((bs, be))
+        if use_bins:
+            # the reference's integer binning: col_key = x // cell_threshold
+            # (detectors.py:646-651), cells emitted in bin order
+            for bs, be in boxes:
+                by_col.setdefault(bs // cfg.cell_threshold, []).append((bs, be))
+        else:
+            # Assign fused token boxes to voted column intervals by box START
+            # (interval-assignment variant of the binning idiom): a cell owns
+            # every box starting inside its interval, so content overflowing
+            # a narrow column is never truncated.
+            intervals = region_intervals[region_of[k]]
+            starts = [a for a, _ in intervals]
+            for bs, be in boxes:
+                ci = 0
+                for ii, a in enumerate(starts):
+                    if bs >= a:
+                        ci = ii
+                    else:
+                        break
+                by_col.setdefault(ci, []).append((bs, be))
         row_cells: List[str] = []
         row_spans: List[Span] = []
         col_idx = 0
         for ci in sorted(by_col):
             col_boxes = by_col[ci]
             s0, e0 = col_boxes[0][0], col_boxes[-1][1]
-            stripped = re.sub(r"\s+", " ", ln[s0:e0].strip())
-            if not stripped:
+            cell_text, conf = recognize(ln[s0:e0])
+            if not cell_text:
                 continue  # empty-ROI skip (detectors.py:1076-1079)
             s = line_offs[k] + s0
-            row_cells.append(stripped)
-            row_spans.append((row_idx, col_idx, s, line_offs[k] + e0))
+            row_cells.append(cell_text)
+            row_spans.append((row_idx, col_idx, s, line_offs[k] + e0, conf))
             col_idx += 1
         if len(row_cells) >= cfg.min_columns:
             cells.append(row_cells)
             spans.extend(row_spans)
             clean_lines.append(" ".join(row_cells))
             row_idx += 1
-        else:
+        elif keep_local[k]:
             clean_lines.append(ln)
 
     return "\n".join(clean_lines), cells, spans

@@ -24,13 +24,13 @@ All functions are pure; offsets refer to the normalized payload.
 
 from __future__ import annotations
 
-import html as _html
 import re
 from typing import List, Tuple
 
 from table_ocr_spark.config import ExtractorConfig
+from table_ocr_spark.functions.recognize import cleanup_text, get_recognizer
 
-Span = Tuple[int, int, int, int]  # (row, col, start, end)
+Span = Tuple[int, int, int, int, float]  # (row, col, start, end, conf)
 
 # ---------------------------------------------------------------- HTML ----
 
@@ -53,14 +53,11 @@ def looks_like_html(text: str) -> bool:
     return bool(_HTML_HINT_RE.search(text))
 
 
-def _strip_tags(fragment: str) -> str:
-    """Tags → space, entity-decode, collapse runs. The 'recognizer' of this
-    domain (≈ TesseractOCR per-cell recognition degenerating to cleanup,
-    detectors.py:767-890)."""
-    out = _TAG_RE.sub(" ", fragment)
-    out = _html.unescape(out)
-    out = re.sub(r"\s+", " ", out).strip()
-    return out
+# Document-level cleanup (tags → space, entity decode, collapse) lives in
+# functions/recognize.cleanup_text; per-CELL recognition goes through the
+# pluggable recognizer seam (cfg.recognizer) so a real model can slot in
+# (≈ TesseractOCR per-cell recognition, detectors.py:767-890).
+_strip_tags = cleanup_text
 
 
 def _trim_cell(raw: str, start: int, trim: int) -> Tuple[str, int, int]:
@@ -91,6 +88,7 @@ def extract_html(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]],
     work = _SCRIPT_STYLE_RE.sub(" ", text)
     work = _BOILER_TAG_RE.sub(" ", work)
     work = _BOILER_DIV_RE.sub(" ", work)
+    recognize = get_recognizer(cfg.recognizer)
 
     cells: List[List[str]] = []
     spans: List[Span] = []
@@ -117,9 +115,9 @@ def extract_html(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]],
                 raw = cm.group(1)
                 abs_start = body_off + rm.start(1) + cm.start(1)
                 stripped, s, e = _trim_cell(raw, abs_start, cfg.roi_trim)
-                cell_text = _strip_tags(stripped)
+                cell_text, conf = recognize(stripped)
                 row_cells.append(cell_text)
-                spans.append((row_idx, col_idx, s, e))
+                spans.append((row_idx, col_idx, s, e, conf))
                 col_idx += 1
             if len(row_cells) >= cfg.min_columns:
                 cells.append(row_cells)
@@ -219,6 +217,7 @@ def extract_markdown(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[st
         offsets.append(pos)
         pos += len(ln) + 1
 
+    recognize = get_recognizer(cfg.recognizer)
     regions = find_md_regions(lines, cfg)
     in_table = [False] * len(lines)
     for a, b in regions:
@@ -243,8 +242,9 @@ def extract_markdown(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[st
         row_spans: List[Span] = []
         for col_idx, (seg, seg_start) in enumerate(segs):
             stripped, s, e = _trim_cell(seg, offsets[k] + seg_start, cfg.roi_trim)
-            row_cells.append(stripped)
-            row_spans.append((row_idx, col_idx, s, e))
+            cell_text, conf = recognize(stripped)
+            row_cells.append(cell_text)
+            row_spans.append((row_idx, col_idx, s, e, conf))
         if len(row_cells) >= cfg.min_columns:
             cells.append(row_cells)
             spans.extend(row_spans)

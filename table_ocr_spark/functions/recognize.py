@@ -1,0 +1,74 @@
+"""Pluggable per-cell recognizer — the ``TesseractOCR`` analog.
+
+The reference spawns one tesseract subprocess per table cell
+(detectors.py:849 inside the rows×cols loop at detectors.py:1064-1082)
+with knobs ``l/dpi/psm/oem`` (defaults at detectors.py:773-778).  In the
+text domain recognition degenerates to cleanup, but the SEAM is kept
+(SURVEY.md §2.4): a recognizer is a pure
+``(raw_cell_text) -> (text, confidence)`` callable selected by name via
+``ExtractorConfig.recognizer``, so a real model (or a batched-subprocess
+bridge) slots in without touching pipeline or schema.
+
+Confidence is the hOCR ``x_wconf`` analog (the reference's committed
+golden ``sample/proc/02.hocr`` carries per-word bbox + x_wconf): here it
+is the recognizability of the recognized text — the fraction of plain
+``[A-Za-z0-9 ]`` characters.  ASCII classes on purpose: engine-neutral,
+so DuckDB correctness oracles are EXACT (same convention as the
+quality-score operator).  Empty cells score 0.0.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Callable, Tuple
+
+Recognized = Tuple[str, float]
+
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_NON_PLAIN_RE = re.compile(r"[^A-Za-z0-9 ]")
+
+
+def cleanup_text(fragment: str) -> str:
+    """Tags → space, entity-decode, collapse whitespace runs, trim.
+    Also the document-level cleaner for the explicit-markup mode."""
+    out = _TAG_RE.sub(" ", fragment)
+    out = _html.unescape(out)
+    return _WS_RE.sub(" ", out).strip()
+
+
+def confidence(text: str) -> float:
+    """Plain-character fraction of the recognized text; 0.0 for empty."""
+    if not text:
+        return 0.0
+    return 1.0 - len(_NON_PLAIN_RE.findall(text)) / len(text)
+
+
+def recognize_cleanup(raw: str) -> Recognized:
+    """Default recognizer: markup/entity cleanup + plain-char confidence."""
+    text = cleanup_text(raw)
+    return text, confidence(text)
+
+
+def recognize_identity(raw: str) -> Recognized:
+    """Pass-through recognizer (whitespace-trim only) — proves the seam is
+    config-selectable; useful when cells are known-clean and the cleanup
+    pass should be skipped."""
+    text = raw.strip()
+    return text, confidence(text)
+
+
+RECOGNIZERS: dict[str, Callable[[str], Recognized]] = {
+    "cleanup": recognize_cleanup,
+    "identity": recognize_identity,
+}
+
+
+def get_recognizer(name: str) -> Callable[[str], Recognized]:
+    try:
+        return RECOGNIZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown recognizer {name!r}; available: {sorted(RECOGNIZERS)}"
+        ) from None

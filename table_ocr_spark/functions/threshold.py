@@ -1,16 +1,23 @@
-"""Global automatic thresholding — the ``OtsuThresholder`` analog
-(ttocr/data/preprocessors.py:403-481: ``cv2.threshold(... THRESH_OTSU)``,
-used by the notebook variant ``notebooks/morph.ipynb`` cell 2).
+"""Density thresholding: global (Otsu) and local (adaptive) classifiers.
 
-In the text domain the pixel-intensity histogram becomes a per-line
-content-density histogram: Otsu's criterion picks the cutoff that maximizes
-between-class variance, splitting lines into content vs boilerplate with no
-hand-tuned constant — the *global* counterpart of the local (windowed)
-classification the adaptive-threshold analog performs.
+``OtsuThresholder`` analog (ttocr/data/preprocessors.py:403-481:
+``cv2.threshold(... THRESH_OTSU)``, used by the notebook variant
+``notebooks/morph.ipynb`` cell 2): the pixel-intensity histogram becomes a
+per-line content-density histogram; Otsu's criterion picks the cutoff that
+maximizes between-class variance — one GLOBAL decision per document.
+Heuristic mode applies it when ``ExtractorConfig.use_otsu`` is on.
 
-Used by the heuristic extraction mode when ``ExtractorConfig.use_otsu`` is
-on (off by default: the default pipeline semantics — and the committed
-golden fixture — stay unchanged).
+``GaussianAdaptiveThresholder`` analog (preprocessors.py:313-400:
+``cv2.adaptiveThreshold`` at 383-390 — pixel kept when above the
+Gaussian-weighted ``block_size`` neighborhood mean minus ``constant``):
+per line, a LOCAL decision — a line is content iff its density is at
+least the mean density of the centered ``block_size``-line window minus
+``density_constant``.  This is the jusText/Boilerpipe-style local
+classification of SURVEY.md §2.2; heuristic mode applies it to prose
+lines (grid rows are definite content and exempt), so decoration that
+looks dense globally but is sparse against its neighborhood (ad blocks,
+ascii rules between paragraphs) is dropped even when Otsu's single global
+cut would keep it.
 """
 
 from __future__ import annotations
@@ -50,6 +57,31 @@ def line_density(line: str) -> float:
         return 0.0
     alnum = sum(1 for c in line if c.isalnum() or c == " ")
     return alnum / len(line)
+
+
+def adaptive_line_filter(
+    lines: List[str], block_size: int = 11, density_constant: float = 0.05
+) -> List[bool]:
+    """True = content, False = below the LOCAL density threshold: density
+    < (mean density over the centered ``block_size`` window) − ``constant``.
+
+    Empty lines are structure, never dropped (and still count toward the
+    neighborhood mean, like background pixels in the reference's window).
+    Documents shorter than ``block_size`` have no meaningful neighborhood —
+    keep everything (mirrors the reference requiring an odd block_size > 1,
+    preprocessors.py:347-356, where a tiny image degenerates the same way).
+    """
+    n = len(lines)
+    if n < block_size or block_size < 2:
+        return [True] * n
+    dens = np.array([line_density(ln) for ln in lines], dtype=np.float64)
+    half = block_size // 2
+    cs = np.concatenate(([0.0], np.cumsum(dens)))
+    lo = np.maximum(np.arange(n) - half, 0)
+    hi = np.minimum(np.arange(n) + half + 1, n)
+    win_mean = (cs[hi] - cs[lo]) / (hi - lo)
+    keep = dens >= (win_mean - density_constant)
+    return [bool(k) or not ln.strip() for k, ln in zip(keep, lines)]
 
 
 def otsu_line_filter(lines: List[str]) -> List[bool]:

@@ -37,6 +37,9 @@ SPAN_TYPE = T.StructType(
         T.StructField("col", T.IntegerType()),
         T.StructField("start", T.IntegerType()),
         T.StructField("end", T.IntegerType()),
+        # per-cell recognizer confidence — the hOCR x_wconf analog
+        # (reference golden sample/proc/02.hocr carries bbox + x_wconf)
+        T.StructField("conf", T.DoubleType()),
     ]
 )
 
@@ -79,7 +82,10 @@ def make_extract_udf(cfg: ExtractorConfig = DEFAULT_CONFIG):
             out["clean_text"].append(r.clean_text)
             out["cells"].append(r.cells)
             out["spans"].append(
-                [{"row": a, "col": b, "start": s, "end": e} for a, b, s, e in r.spans]
+                [
+                    {"row": a, "col": b, "start": s, "end": e, "conf": c}
+                    for a, b, s, e, c in r.spans
+                ]
             )
             out["mode"].append(r.mode)
             out["boilerplate_ratio"].append(r.boilerplate_ratio)

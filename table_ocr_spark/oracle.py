@@ -39,7 +39,8 @@ def extract_frame(transcripts: pd.DataFrame, cfg: ExtractorConfig = DEFAULT_CONF
         out["clean_text"].append(r.clean_text)
         out["cells"].append(r.cells)
         out["spans"].append([
-            {"row": a, "col": b, "start": s, "end": e} for a, b, s, e in r.spans
+            {"row": a, "col": b, "start": s, "end": e, "conf": c}
+            for a, b, s, e, c in r.spans
         ])
         out["mode"].append(r.mode)
         out["boilerplate_ratio"].append(r.boilerplate_ratio)

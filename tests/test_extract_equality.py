@@ -47,7 +47,13 @@ def _assert_equal(spark_df: pd.DataFrame, golden_df: pd.DataFrame):
         assert a == b, f"cells mismatch at row {i}"
     for i, (a, b) in enumerate(zip(spark_df["spans"], golden_df["spans"])):
         a = [
-            {"row": s["row"], "col": s["col"], "start": s["start"], "end": s["end"]}
+            {
+                "row": s["row"],
+                "col": s["col"],
+                "start": s["start"],
+                "end": s["end"],
+                "conf": s["conf"],
+            }
             for s in (a if a is not None else [])
         ]
         assert a == b, f"spans mismatch at row {i}"

@@ -58,7 +58,7 @@ def test_html_table_cells_and_spans():
     clean, cells, spans = markup.extract_html(HTML_DOC, C)
     assert cells == [["a1", "b1"], ["a2", "b2"]]
     # spans point at the raw payload content (pre-strip, trimmed)
-    for (row, col, s, e) in spans:
+    for (row, col, s, e, conf) in spans:
         assert HTML_DOC[s:e].strip() == cells[row][col]
 
 
@@ -82,7 +82,7 @@ def test_markdown_cells():
 
 def test_markdown_spans_point_at_cells():
     _, cells, spans = markup.extract_markdown(MD_DOC, C)
-    for (row, col, s, e) in spans:
+    for (row, col, s, e, conf) in spans:
         assert MD_DOC[s:e] == cells[row][col]
 
 
@@ -139,8 +139,8 @@ def test_layout_running_header_removed():
 
 def test_layout_spans_point_at_content():
     _, cells, spans = layout.extract_layout(PDF_DOC, C)
-    flat = [cells[r][c] for (r, c, s, e) in spans]
-    for (r, c, s, e), cell in zip(spans, flat):
+    flat = [cells[r][c] for (r, c, s, e, conf) in spans]
+    for (r, c, s, e, conf), cell in zip(spans, flat):
         assert PDF_DOC[s:e].strip().replace("  ", " ") == cell or PDF_DOC[s:e].strip() == cell
 
 
@@ -184,3 +184,80 @@ def test_config_hash_distinguishes_configs():
 
     assert DEFAULT_CONFIG.config_hash() != ALT_CONFIG.config_hash()
     assert DEFAULT_CONFIG.config_hash() == ExtractorConfig().config_hash()
+
+
+# ------------------------------------------------ adaptive local threshold ---
+def test_adaptive_line_filter_drops_local_outlier():
+    from table_ocr_spark.functions.threshold import adaptive_line_filter
+
+    lines = ["normal prose line here"] * 6 + ["#### ==== $$$$ ===="] + [
+        "normal prose line here"
+    ] * 6
+    keep = adaptive_line_filter(lines, block_size=11, density_constant=0.05)
+    assert keep[6] is False and sum(keep) == 12
+    # empty lines are structure — always kept
+    lines2 = lines[:6] + [""] + lines[6:]
+    assert adaptive_line_filter(lines2, 11, 0.05)[6] is True
+    # short docs have no neighborhood — keep all
+    assert adaptive_line_filter(lines[:5], 11, 0.05) == [True] * 5
+
+
+def test_adaptive_threshold_wired_into_heuristic_mode():
+    junk = "=== $$$ === $$$ ==="
+    doc = PDF_DOC + "\n" + "\n".join(["plain prose padding line"] * 8 + [junk])
+    clean_on, _, _ = layout.extract_layout(doc, C)
+    assert junk not in clean_on
+    # density_constant is live: a huge constant keeps everything
+    lax = ExtractorConfig(density_constant=1.0)
+    clean_off, _, _ = layout.extract_layout(doc, lax)
+    assert junk in clean_off
+    # grid rows are exempt even when punctuation-dense
+    assert "apple 3 1.20" in clean_on
+
+
+# ------------------------------------------------- column binning strategy ---
+def test_bin_column_strategy_matches_vote_on_aligned_grid():
+    # columns start at offsets 0/12/18 — threshold 6 separates the bins
+    # (0, 2, 3) and reproduces the voted grid exactly; a coarse threshold
+    # (10) MERGES the 12/18 columns into one bin — the reference's
+    # `x // cell_threshold` coarsening semantics (detectors.py:646-651)
+    vote = layout.extract_layout(PDF_DOC, C)[1]
+    binned = layout.extract_layout(
+        PDF_DOC, ExtractorConfig(column_strategy="bin", cell_threshold=6)
+    )[1]
+    assert vote == binned
+    coarse = layout.extract_layout(
+        PDF_DOC, ExtractorConfig(column_strategy="bin", cell_threshold=10)
+    )[1]
+    assert ["apple", "3 1.20"] in coarse
+
+
+def test_bin_cell_threshold_is_live():
+    # 3 tokens at offsets 0, 6, 12: threshold 4 → three bins; threshold 10
+    # → tokens at 6 and 12 land in bins 0 and 1... while a huge threshold
+    # bins everything together (min_columns=2 then rejects the row)
+    doc = "aa    bb    cc\ndd    ee    ff"
+    cfg4 = ExtractorConfig(column_strategy="bin", cell_threshold=6, min_columns=2)
+    cells4 = layout.extract_layout(doc, cfg4)[1]
+    assert cells4 == [["aa", "bb", "cc"], ["dd", "ee", "ff"]]
+    cfg_big = ExtractorConfig(column_strategy="bin", cell_threshold=100, min_columns=2)
+    assert layout.extract_layout(doc, cfg_big)[1] == []
+
+
+# ----------------------------------------------------- recognizer seam ----
+def test_recognizer_seam_and_confidence():
+    from table_ocr_spark.functions.recognize import get_recognizer
+
+    with pytest.raises(ValueError):
+        get_recognizer("nope")
+    doc = "<table><tr><td><b>a&amp;b</b></td><td>plain ok</td></tr></table>"
+    cfg_clean = ExtractorConfig(min_columns=2)
+    _, cells, spans = markup.extract_html(doc, cfg_clean)
+    assert cells == [["a&b", "plain ok"]]
+    assert spans[0][4] == pytest.approx(1.0 - 1.0 / 3.0)  # 'a&b': 1 of 3 plain
+    assert spans[1][4] == 1.0
+    # identity recognizer skips the tag-strip cleanup
+    _, cells_id, _ = markup.extract_html(
+        doc, ExtractorConfig(min_columns=2, recognizer="identity")
+    )
+    assert cells_id == [["<b>a&amp;b</b>", "plain ok"]]

@@ -60,7 +60,7 @@ def test_extract_total_and_deterministic(s):
 def test_spans_point_inside_normalized_payload(s):
     r = extract_payload(s, C)
     norm = normalize(s)
-    for (row, col, start, end) in r.spans:
+    for (row, col, start, end, conf) in r.spans:
         assert 0 <= start <= end <= len(norm)
         # the span's text, stripped, is contained in the recorded cell
         # (explicit-markup cells may be entity-decoded/tag-stripped further)
