@@ -444,6 +444,38 @@ def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_boilerplate_strip_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe line-hash variant of conv-scoped boilerplate removal:
+    only line hashes shuffle, text strips map-side. Same oracle as the
+    gather method — the two plans are semantically identical."""
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    turns = d.select(
+        F.col("doc_id"),
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("turn_idx"),
+        toks.alias("_toks"),
+    ).select(
+        "doc_id",
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("SENT FROM MY AGENT\n"),
+            F.element_at("_toks", F.col("turn_idx") + 1),
+            F.lit("-"),
+            F.col("turn_idx").cast("string"),
+        ).alias("text"),
+    )
+    out = strip_conv_boilerplate(turns, ratio=0.6, min_turns=3, method="linehash")
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "text_stripped",
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (the batch shape of the streaming
     watermark+window pattern): events per hour × type."""
@@ -625,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "cells_flat": q_cells_flat,
         "conv_boilerplate_strip": q_conv_boilerplate_strip,
+        "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
         "events_windowed": q_events_windowed,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
@@ -882,6 +915,10 @@ def oracle_sql() -> dict[str, str]:
         "conv_boilerplate_strip": (
             # the banner repeats in 5/5 turns → banned; each word-<t> line is
             # unique within its conversation → kept verbatim
+            f"SELECT doc_id, t AS turn_idx, {_SQL_TOKS}[t::INT + 1] || '-' || t::VARCHAR AS text_stripped "
+            f"FROM documents, (SELECT unnest(range(5)) AS t) _r"
+        ),
+        "conv_boilerplate_strip_hashed": (
             f"SELECT doc_id, t AS turn_idx, {_SQL_TOKS}[t::INT + 1] || '-' || t::VARCHAR AS text_stripped "
             f"FROM documents, (SELECT unnest(range(5)) AS t) _r"
         ),

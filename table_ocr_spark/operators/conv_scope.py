@@ -16,16 +16,21 @@ that genuinely require co-locating a conversation:
 
 Scale: the groupBy(conv_id) shuffle is the one place long conversations
 CANNOT be salted (the semantics need the whole conv).  Skew mitigation is
-structural instead: payload lines are hashed per turn first (map-side, a
-projection), so only (conv_id, turn_idx, line_hashes) shuffles — bytes per
-turn shrink by ~50×; the heavy text stays where it is and the removal is a
-second map-side pass joined against the broadcast-sized banned-line sets.
-At sandbox scale the direct applyInPandas over full text is used; both
-paths produce identical output (tested).
+structural instead — ``method="linehash"``: payload lines are hashed per
+turn first (map-side projection), so only ``(conv_id, turn_idx,
+line_hashes)`` shuffles — bytes per turn shrink by orders of magnitude;
+the heavy text never moves, and removal is a second map-side pass against
+the banned-hash sets joined back per conversation (broadcast by default —
+banned lines are repeated-content heavy hitters, a bounded set; pass
+``broadcast_banned=False`` to fall back to a shuffled join for adversarial
+corpora).  ``method="gather"`` is the direct applyInPandas over full text.
+Both methods produce identical output (tests/test_conv_scope.py asserts
+frame equality on the synth corpus, including the skewed long-conv tail).
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator, List
 
 import pandas as pd
@@ -49,11 +54,59 @@ def _banned_lines(texts: List[str], ratio: float, min_turns: int) -> set:
     return {ln for ln, c in seen.items() if c >= cut}
 
 
+def _h60(s: str) -> int:
+    """60-bit md5 line hash (same family as the dedup operators').  A
+    collision would ban one wrong line per ~2^30 distinct lines per conv —
+    accepted; the gather method is the collision-free reference."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _distinct_line_hashes(text) -> List[int]:
+    return sorted({_h60(ln.strip()) for ln in normalize(text).split("\n") if ln.strip()})
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _line_hashes_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_distinct_line_hashes)
+
+
+@F.pandas_udf(T.StringType())
+def _strip_banned_udf(texts: pd.Series, banned: pd.Series) -> pd.Series:
+    out = []
+    for text, bh in zip(texts, banned):
+        norm = normalize(text)
+        if bh is None or len(bh) == 0:
+            out.append(norm)
+            continue
+        bset = set(int(h) for h in bh)
+        kept = [
+            ln
+            for ln in norm.split("\n")
+            if not ln.strip() or _h60(ln.strip()) not in bset
+        ]
+        out.append("\n".join(kept))
+    return pd.Series(out, dtype=object)
+
+
 def strip_conv_boilerplate(
-    df: DataFrame, ratio: float = 0.6, min_turns: int = 3
+    df: DataFrame,
+    ratio: float = 0.6,
+    min_turns: int = 3,
+    method: str = "gather",
+    broadcast_banned: bool = True,
 ) -> DataFrame:
-    """(conv_id, turn_idx, text) → same + text_stripped, with lines present
-    in ≥ ratio of the conversation's turns removed."""
+    """(conv_id, turn_idx, text) → (conv_id, turn_idx, text_stripped,
+    n_banned_lines), with lines present in ≥ ratio of the conversation's
+    turns removed.
+
+    method="gather": groupBy(conv_id).applyInPandas over full text — the
+    collision-free reference, fine when conversations fit a task.
+    method="linehash": the skew-safe scale path — only line HASHES shuffle
+    (narrow projection), banned sets join back, text is stripped map-side.
+    """
+    if method == "linehash":
+        return _strip_linehash(df, ratio, min_turns, broadcast_banned)
+
     schema = T.StructType(
         [
             T.StructField("conv_id", T.StringType(), False),
@@ -73,6 +126,53 @@ def strip_conv_boilerplate(
         return pd.DataFrame(out_rows, columns=["conv_id", "turn_idx", "text_stripped", "n_banned_lines"])
 
     return df.select("conv_id", "turn_idx", "text").groupBy("conv_id").applyInPandas(_per_conv, schema)
+
+
+def _strip_linehash(
+    df: DataFrame, ratio: float, min_turns: int, broadcast_banned: bool
+) -> DataFrame:
+    """Line-hash plan:
+
+    1. map-side: distinct line hashes per turn (projection, no shuffle);
+    2. shuffle ONLY (conv_id, turn_idx, hashes): per-conv turn counts and
+       per-(conv, line) occurrence counts — both map-side partially
+       aggregated, skew-free (a 20k-turn conv is a 20k-row narrow group);
+    3. banned = lines occurring in ≥ max(2, ⌊ratio·n_turns + 0.9999⌋) turns
+       of convs with ≥ min_turns turns (bit-identical arithmetic to the
+       gather method's Python cut);
+    4. banned-hash sets join back to the ORIGINAL rows (broadcast: banned
+       sets are repeated-content heavy hitters, bounded small) and a second
+       map-side pass strips matching lines — the full text never shuffles.
+    """
+    src = df.select("conv_id", "turn_idx", "text")
+    hashes = src.select("conv_id", "turn_idx", _line_hashes_udf("text").alias("lh"))
+    n_turns = hashes.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    cut = F.greatest(
+        F.lit(2).cast("long"),
+        F.floor(F.lit(ratio) * F.col("n_turns") + F.lit(0.9999)),
+    )
+    banned_sets = (
+        hashes.select("conv_id", F.explode("lh").alias("h"))
+        .groupBy("conv_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(n_turns.filter(F.col("n_turns") >= min_turns), "conv_id")
+        .filter(F.col("c") >= cut)
+        .groupBy("conv_id")
+        .agg(F.collect_set("h").alias("_banned"))
+    )
+    if broadcast_banned:
+        banned_sets = F.broadcast(banned_sets)
+    joined = src.join(banned_sets, "conv_id", "left")
+    return joined.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _strip_banned_udf("text", "_banned").alias("text_stripped"),
+        # NB not coalesce(size(...)): legacy sizeOfNull makes size(NULL) = -1
+        F.when(F.col("_banned").isNull(), F.lit(0))
+        .otherwise(F.size("_banned"))
+        .cast("int")
+        .alias("n_banned_lines"),
+    )
 
 
 def conv_metrics(extracted: DataFrame) -> DataFrame:

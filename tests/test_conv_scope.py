@@ -62,3 +62,54 @@ def test_cells_flat_and_conv_metrics(spark):
     m = {r.conv_id: r for r in conv_metrics(ex).collect()}
     assert m["X"].n_turns == 2 and m["X"].cell_count == 4
     assert m["Y"].n_turns == 1 and m["Y"].cell_count == 4
+
+
+def test_linehash_method_equals_gather(spark):
+    """The skew-safe line-hash plan and the direct gather plan must be
+    byte-identical — on the synth corpus (heavy-tailed conv lengths,
+    unicode/noisy payloads) AND on crafted edge cases (None text, empty
+    turns, convs below min_turns)."""
+    import pandas as pd
+
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+    from table_ocr_spark.synth import gen_pandas
+
+    pdf = gen_pandas(12, seed=99, max_long=120)[["conv_id", "turn_idx", "text"]]
+    edge = pd.DataFrame(
+        {
+            "conv_id": ["e1", "e1", "e1", "e2", "e2", "e3"],
+            "turn_idx": [0, 1, 2, 0, 1, 0],
+            "text": ["BANNER\na", "BANNER\nb", "BANNER\n\nc", "x", None, ""],
+        }
+    )
+    df = spark.createDataFrame(pd.concat([pdf, edge], ignore_index=True))
+
+    def frame(method):
+        out = strip_conv_boilerplate(df, ratio=0.6, min_turns=3, method=method)
+        return (
+            out.toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    a, b = frame("gather"), frame("linehash")
+    pd.testing.assert_frame_equal(a, b)
+    # the banner conv actually stripped something
+    e1 = b[b.conv_id == "e1"]
+    assert (e1.n_banned_lines == 1).all() and not e1.text_stripped.str.contains("BANNER").any()
+
+
+def test_linehash_no_broadcast_same_result(spark):
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+
+    df = spark.createDataFrame(
+        [("c", i, f"SIG\nline {i}") for i in range(5)],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {
+        (r.conv_id, r.turn_idx): (r.text_stripped, r.n_banned_lines)
+        for r in strip_conv_boilerplate(
+            df, method="linehash", broadcast_banned=False
+        ).collect()
+    }
+    assert rows[("c", 3)] == ("line 3", 1)
