@@ -3,9 +3,12 @@
     read transcripts
       → bucket(N, conv_id)                       [partition spec]
       → salted repartition on (bucket, salt)     [axis B: skew-free balance]
-      → sortWithinPartitions(conv_id, turn_idx)  [north rule: stable order]
       → extraction pandas UDF                    [one ArrowEvalPython stage]
-      → write partitionBy(bucket), dynamic overwrite  [idempotent commit]
+      → join turn_seq from keys-only window      [north rule: stable order,
+                                                  composite-key exchange — no
+                                                  whole-conv re-gather]
+      → observe() per-bucket metrics             [one pass, no read-back]
+      → write data/config=<hash>/bucket=<k>, dynamic overwrite  [idempotent]
       → lineage rows per bucket                  [checkpoint-resume watermark]
 
 Commit granularity is a *bucket group* (``commit_groups`` groups of
@@ -30,7 +33,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as WindowSpec
 
@@ -79,8 +82,8 @@ def _salted_bucketed(df: DataFrame, cfg: ExtractorConfig, n_buckets: int) -> Dat
         out = out.repartition(parts, "bucket", "_salt")
     else:
         out = out.repartition("bucket", "_salt")
-    # no sort here: the post-extraction ordering window re-gathers by
-    # conv_id and sorts (conv_id, turn_idx) as part of its exchange
+    # no sort here: the post-extraction turn_seq join re-clusters rows by
+    # (conv_id, turn_idx) as part of its exchange
     return out.drop("_salt")
 
 
@@ -117,58 +120,63 @@ def run_extract(
         if not todo:
             continue
         gt0 = time.time()
-        sub = src.filter(bucket_expr(n_buckets).isin(todo))
-        sub = _salted_bucketed(sub, cfg, n_buckets)
+        keys = src.filter(bucket_expr(n_buckets).isin(todo))
+        sub = _salted_bucketed(keys, cfg, n_buckets)
         ex = with_extraction(sub.select("conv_id", "turn_idx", "text", "bucket"), cfg)
         # with_extraction projects the fixed output schema; re-attach bucket
         ex = ex.withColumn("bucket", bucket_expr(n_buckets))
-        # north rule: stable turn ordering — the explicit
-        # Window.partitionBy(conv_id).orderBy(turn_idx) sequence number
-        # (also the per-conversation resume watermark for consumers).
-        # The window's exchange re-gathers each conversation AFTER the
-        # balanced extraction and leaves rows sorted by (conv_id, turn_idx)
-        # within tasks — which is exactly the on-disk order we want, so no
-        # extra sort or repartition precedes the write.
+        # north rule: stable turn ordering — turn_seq (the per-conversation
+        # resume watermark for consumers) is computed on the NARROW key
+        # projection (the scan reads only conv_id/turn_idx for this branch)
+        # and joined back on the composite key: both join sides hash on
+        # (conv_id, turn_idx), so a 20k-turn conversation spreads across
+        # tasks instead of re-gathering into one — the previous row_number
+        # window re-shuffled the text-heavy extracted output by conv_id
+        # alone, undoing the salting done three lines earlier.
         w_order = WindowSpec.partitionBy("conv_id").orderBy("turn_idx")
-        ex = ex.withColumn("turn_seq", F.row_number().over(w_order))
+        seq = keys.select("conv_id", "turn_idx").withColumn(
+            "turn_seq", F.row_number().over(w_order)
+        )
+        ex = ex.join(seq, ["conv_id", "turn_idx"])
+        # per-bucket metrics ride the write job via observe(): ONE pass over
+        # the data — the previous implementation re-read the entire
+        # just-written output from disk per commit group (a second full I/O
+        # pass over the output at 100 TB).
+        obs = Observation(f"metrics-{run_id}-g{g}")
+        cell_count = F.aggregate(F.transform("cells", F.size), F.lit(0), lambda a, x: a + x)
+        aggs = []
+        for b in todo:
+            is_b = F.col("bucket") == b
+            aggs += [
+                F.count(F.when(is_b, 1)).alias(f"turns_{b}"),
+                F.sum(F.when(is_b, F.col("boilerplate_ratio"))).alias(f"bp_{b}"),
+                F.sum(F.when(is_b, cell_count)).alias(f"cells_{b}"),
+            ]
+        ex = ex.observe(obs, *aggs)
         (
             ex.write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(table.data_dir)
+            .parquet(table.config_data_dir(chash))
         )
-        # per-bucket metrics: column-pruned scan of just-written output
-        # (reads only bucket / boilerplate_ratio / cells lengths)
-        written = spark.read.parquet(table.data_dir).filter(F.col("bucket").isin(todo))
-        metrics = (
-            written.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("turns"),
-                F.avg("boilerplate_ratio").alias("bp_avg"),
-                F.sum(F.expr("aggregate(transform(cells, r -> size(r)), 0, (a, x) -> a + x)")).alias(
-                    "cell_count"
-                ),
-            )
-            .collect()
-        )
+        m = obs.get
         wall = int((time.time() - gt0) * 1000)
-        rows = [
-            (
-                run_id,
-                chash,
-                int(m.bucket),
-                "committed",
-                int(m.turns),
-                float(m.bp_avg) if m.bp_avg is not None else 0.0,
-                int(m.cell_count) if m.cell_count is not None else 0,
-                wall,
+        rows = []
+        for b in todo:
+            # empty buckets still commit (else resume would retry them forever)
+            turns = int(m[f"turns_{b}"] or 0)
+            bp_sum, cells = m[f"bp_{b}"], m[f"cells_{b}"]
+            rows.append(
+                (
+                    run_id,
+                    chash,
+                    b,
+                    "committed",
+                    turns,
+                    float(bp_sum) / turns if turns and bp_sum is not None else 0.0,
+                    int(cells) if cells is not None else 0,
+                    wall,
+                )
             )
-            for m in metrics
-        ]
-        # empty buckets still commit (else resume would retry them forever)
-        seen = {int(m.bucket) for m in metrics}
-        rows.extend(
-            (run_id, chash, b, "committed", 0, 0.0, 0, wall) for b in todo if b not in seen
-        )
         table.append_lineage(spark, rows)
         result.committed_buckets.extend(r[2] for r in rows)
         groups_done += 1

@@ -9,8 +9,16 @@ keep the catalog thin so both backends pass the same resume test).
 
 Layout of an extraction table at ``root``:
 
-    root/data/bucket=<k>/part-*.parquet     -- bucket(N, conv_id) spec
+    root/data/config=<hash>/bucket=<k>/part-*.parquet
     root/_lineage/*.parquet                 -- commit manifest (FIXTURES.md §4)
+
+The physical layout is partitioned by config FIRST: lineage rows are keyed
+by config_hash, so two configs sharing one directory would let a resume
+under config A skip buckets whose bytes were overwritten by config B —
+silently wrong output.  Separate config partitions make every
+(config_hash, bucket) lineage row point at bytes that config actually
+wrote (the Iceberg analog: one table per config spec, or a config column
+in the partition spec).
 
 The reference analog of the config/lineage sidecar is the SQLite config
 store (ttocr/api/database.py:26-65) + per-run mlflow artifact trail
@@ -89,8 +97,18 @@ class ExtractionTable:
         self.lineage_dir = os.path.join(root, "_lineage")
         self.config_dir = os.path.join(root, "_config")
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.data_dir)
+    def config_data_dir(self, config_hash: str) -> str:
+        return os.path.join(self.data_dir, f"config={config_hash}")
+
+    def read(self, spark: SparkSession, config_hash: Optional[str] = None) -> DataFrame:
+        """Read extraction output.  With ``config_hash``, prunes to that
+        config's partition directory (partition-pruned scan, not a filter
+        over foreign configs' bytes); without, returns all configs with the
+        ``config`` partition column attached."""
+        df = spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+        if config_hash is not None:
+            df = df.filter(F.col("config") == config_hash)
+        return df
 
     def read_lineage(self, spark: SparkSession) -> Optional[DataFrame]:
         if not os.path.isdir(self.lineage_dir) or not any(

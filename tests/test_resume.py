@@ -79,3 +79,45 @@ def test_new_config_recomputes(spark, input_path, tmp_path):
     res = run_extract(spark, input_path, out, cfg=ALT_CONFIG, n_buckets=4, commit_groups=1, run_id="r2")
     assert res.skipped_buckets == []
     assert len(res.committed_buckets) == 4
+
+
+def test_two_configs_coexist_and_resume_is_honest(spark, input_path, tmp_path):
+    """Lineage is keyed by config_hash; the physical layout is partitioned
+    by config too, so running config B never overwrites config A's bytes —
+    a later resume under A skips its buckets AND A's data is still A's."""
+    out = str(tmp_path / "extracted4")
+    table = ExtractionTable(out)
+    run_extract(spark, input_path, out, n_buckets=4, commit_groups=1, run_id="a1")
+    a_hash = DEFAULT_CONFIG.config_hash()
+    a_rows = table.read(spark, a_hash).count()
+    run_extract(spark, input_path, out, cfg=ALT_CONFIG, n_buckets=4, commit_groups=1, run_id="b1")
+
+    # resume under A: everything skipped (no recompute)...
+    res = run_extract(spark, input_path, out, n_buckets=4, commit_groups=1, run_id="a2")
+    assert res.committed_buckets == [] and len(res.skipped_buckets) == 4
+    # ...and the skip is honest: A's partition still holds A's full output
+    a_data = table.read(spark, a_hash)
+    assert a_data.count() == a_rows == spark.read.parquet(input_path).count()
+    # both configs are present and distinguishable in the unfiltered read
+    configs = {r.config for r in table.read(spark).select("config").distinct().collect()}
+    assert configs == {a_hash, ALT_CONFIG.config_hash()}
+
+
+def test_turn_seq_is_dense_per_conversation(spark, input_path, tmp_path):
+    """north rule: turn_seq = 1..n within each conversation ordered by
+    turn_idx, regardless of salting/join physical order."""
+    out = str(tmp_path / "extracted5")
+    run_extract(spark, input_path, out, n_buckets=4, commit_groups=2, run_id="s1")
+    data = ExtractionTable(out).read(spark, DEFAULT_CONFIG.config_hash())
+    bad = (
+        data.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("turn_seq").alias("lo"),
+            F.max("turn_seq").alias("hi"),
+            F.countDistinct("turn_seq").alias("d"),
+        )
+        .filter(~((F.col("lo") == 1) & (F.col("hi") == F.col("n")) & (F.col("d") == F.col("n"))))
+        .count()
+    )
+    assert bad == 0
