@@ -25,11 +25,44 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _resolve_config(name: str, store_dir: str | None):
+    """Config resolution, mirroring the reference's named-config retrieval
+    (GET /config/ by primary-key name, api/main.py:386-462): builtin names
+    first, then a JSON file path, then the ConfigStore at ``store_dir``."""
+    from table_ocr_spark.config import ALT_CONFIG, DEFAULT_CONFIG, ExtractorConfig
+
+    if name == "default":
+        return DEFAULT_CONFIG
+    if name == "alt":
+        return ALT_CONFIG
+    if os.path.isfile(name):
+        with open(name) as f:
+            return ExtractorConfig(**json.load(f))
+    if store_dir:
+        from table_ocr_spark.sources.config_store import ConfigStore
+
+        cfg = ConfigStore(store_dir).get(name)
+        if cfg is not None:
+            return cfg
+    raise SystemExit(
+        f"unknown config {name!r}: not a builtin (default|alt), not a JSON "
+        f"file, and not found in the config store"
+        + (f" at {store_dir}" if store_dir else " (no --config-store given)")
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="transcript main-content extraction job")
     ap.add_argument("--input", required=True, help="transcripts parquet dir")
     ap.add_argument("--output", required=True, help="output table root")
-    ap.add_argument("--config", default="default", help="config name: default|alt|<json file>")
+    ap.add_argument(
+        "--config",
+        default="default",
+        help="config: default|alt|<json file>|<name in --config-store>",
+    )
+    ap.add_argument(
+        "--config-store", default=None, help="ConfigStore dir for named configs"
+    )
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--groups", type=int, default=4)
     ap.add_argument("--run-id", default=None)
@@ -37,17 +70,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from table_ocr_spark.config import ALT_CONFIG, DEFAULT_CONFIG, ExtractorConfig
     from table_ocr_spark.plans.pipeline import run_extract
     from table_ocr_spark.session import build_session
 
-    if args.config == "default":
-        cfg = DEFAULT_CONFIG
-    elif args.config == "alt":
-        cfg = ALT_CONFIG
-    else:
-        with open(args.config) as f:
-            cfg = ExtractorConfig(**json.load(f))
+    cfg = _resolve_config(args.config, args.config_store)
 
     spark = build_session(app_name="extract", cores=args.cores)
     try:
