@@ -356,6 +356,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", simhash_col("text", bits=16).alias("simhash"))
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup join: candidates share a 4-bit band
+    (pigeonhole: finds every pair up to Hamming 3), verified by exact
+    Hamming distance — injected dups surface at hamming 0."""
+    from table_ocr_spark.operators.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(
+        _with_dups(_docs(spark, sf_dir)).select("doc_id", "text"), max_hamming=1
+    )
+    return pairs.select("key_a", "key_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set Jaccard between consecutive doc_ids (deterministic pair
     generator; LSH generates candidates at scale)."""
@@ -652,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_scores": q_cosine_scores,
         "embedding_near_dup": q_embedding_near_dup,
@@ -888,6 +901,16 @@ def oracle_sql() -> dict[str, str]:
             "AND a.doc_id < b.doc_id WHERE a.bsz <= 50"
         ),
         "simhash": f"SELECT doc_id, {_sql_simhash(16)} AS simhash FROM documents",
+        "simhash_near_dup": (
+            f"WITH docs2 AS ({dup_union}), "
+            f"sims AS (SELECT doc_id, {_sql_simhash(16)} AS sh FROM docs2), "
+            "banded AS (SELECT doc_id, sh, band, (sh >> (band * 4)) & 15 AS bucket "
+            "FROM sims, (SELECT unnest(range(4)) AS band) _b) "
+            "SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b, "
+            "bit_count(xor(a.sh, b.sh))::BIGINT AS hamming "
+            "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 1"
+        ),
         "ngram_jaccard": (
             "SELECT a.doc_id AS key_a, b.doc_id AS key_b, "
             "round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 "

@@ -216,6 +216,65 @@ def simhash_col(text: str = "text", bits: int = 16) -> Column:
     return out
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate generation + exact Hamming
+    verify — (key_a, key_b, hamming) with hamming ≤ ``max_hamming``.
+
+    Pigeonhole guarantee: a pair with Hamming distance d < ``bands`` agrees
+    exactly on at least one bit-band, so banding at 4 bands finds every
+    pair up to distance 3 — the same candidate-bounding trick as MinHash
+    LSH banding, re-used on the SimHash bit signature.  The self-join
+    shuffles only (key, signature, band, bucket) — never the text."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole requires max_hamming < bands")
+    bpb = bits // bands
+    mask = (1 << bpb) - 1
+    sim = df.select(
+        F.col(key).alias("k"), simhash_col(text, bits).alias("sh")
+    ).repartition("k")
+    banded = sim.select(
+        "k",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * bpb)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "sh", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = hamming16_col(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def hamming16_col(a: Column, b: Column) -> Column:
     """Hamming distance between two 16-bit simhashes: popcount of XOR.
     (shiftright takes a Python int literal, hence the unrolled sum — 16

@@ -140,3 +140,38 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark, docs_df):
     assert n_capped < uncapped and n_capped == 3  # (0,1), (0,3), (1,3)
     over = lsh_oversized_buckets(corpus, max_bucket_size=10).collect()
     assert len(over) == 4 and all(r.bucket_size == 40 for r in over)
+
+
+def test_simhash_banded_join_complete_vs_brute_force(spark):
+    """Pigeonhole completeness: the banded candidate join must find EVERY
+    pair within max_hamming < bands of the brute-force cross join."""
+    from table_ocr_spark.operators.dedup import (
+        hamming16_col,
+        simhash_col,
+        simhash_near_dup_pairs,
+    )
+
+    rows = [(i, f"shared words body {i % 7} tail {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {
+        (r.key_a, r.key_b, r.hamming)
+        for r in simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    sim = df.select(F.col("doc_id").alias("k"), simhash_col("text").alias("sh"))
+    a, b = sim.alias("a"), sim.alias("b")
+    brute = {
+        (r.key_a, r.key_b, r.hamming)
+        for r in a.join(b, F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            hamming16_col(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=4)  # pigeonhole violated
