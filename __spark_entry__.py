@@ -409,6 +409,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cos_sim") >= 0.0)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-world near-dup pairs: banded sign-LSH candidates (2 bands × 8
+    deterministic hyperplanes) + exact cosine verify — no O(n²) cross
+    join. The oracle recomputes the identical md5-derived hyperplanes."""
+    from table_ocr_spark.operators.similarity import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(_emb(spark, sf_dir), dim=64, threshold=0.2)
+
+
 def q_cells_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flattened cell view (explode rows → posexplode cells) over the
     markdown-table payload — one row per extracted table cell."""
@@ -668,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_scores": q_cosine_scores,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cells_flat": q_cells_flat,
         "conv_boilerplate_strip": q_conv_boilerplate_strip,
         "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
@@ -755,6 +765,22 @@ def _sql_simhash(bits: int = 16) -> str:
             f"CASE WHEN 2 * len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) > len(hs) THEN {2**b} ELSE 0 END"
         )
     return f"(SELECT ({' + '.join(terms)})::BIGINT FROM (SELECT {h} AS hs) _t)"
+
+
+def _sql_sign_bucket(band: int, planes_per_band: int = 8, dim: int = 64) -> str:
+    """Sign-bucket expression with the hyperplanes inlined as literals —
+    the exact same md5-derived ±1 planes the Spark operator uses."""
+    from table_ocr_spark.operators.similarity import hyperplane
+
+    terms = []
+    for i in range(planes_per_band):
+        hp = hyperplane(dim, band * planes_per_band + i)
+        lit = "[" + ", ".join(f"{x:.1f}" for x in hp) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}::DOUBLE[]) > 0 "
+            f"THEN {2 ** i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -927,6 +953,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
             f"FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
             f"WHERE round({cos_ab}, 4) >= 0.0"
+        ),
+        "embedding_near_dup_lsh": (
+            f"WITH bk AS (SELECT vec_id, embedding, {_sql_sign_bucket(0)} AS bkt0, "
+            f"{_sql_sign_bucket(1)} AS bkt1 FROM embeddings), "
+            "banded AS (SELECT vec_id, embedding, 0 AS band, bkt0 AS bucket FROM bk "
+            "UNION ALL SELECT vec_id, embedding, 1 AS band, bkt1 AS bucket FROM bk) "
+            f"SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
+            "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+            f"AND a.vec_id < b.vec_id WHERE round({cos_ab}, 4) >= 0.2"
         ),
         "cells_flat": (
             f"SELECT doc_id, r.row_idx::BIGINT AS row_idx, r.col_idx::BIGINT AS col_idx, "

@@ -78,11 +78,12 @@ def hyperplane(dim: int, plane: int) -> List[float]:
     return out
 
 
-def lsh_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
-    """Sign-bit bucket id: bit p = (v · hyperplane_p) > 0."""
+def lsh_bucket_col(vec: Column, dim: int, planes: int = 8, plane_offset: int = 0) -> Column:
+    """Sign-bit bucket id: bit p = (v · hyperplane_{plane_offset+p}) > 0.
+    ``plane_offset`` selects an independent plane family per band."""
     out = F.lit(0).cast("long")
     for p in range(planes):
-        hp = _lit_vec(hyperplane(dim, p))
+        hp = _lit_vec(hyperplane(dim, plane_offset + p))
         out = out + F.when(dot_col(vec.cast("array<double>"), hp) > 0, F.lit(2 ** p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -173,6 +174,71 @@ def ivf_topk(
     ]
     cand = assigned.filter(F.col("_list").isin(probes))
     return cosine_topk(cand, query, k=k, vec=vec, key=key)
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.2,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    planes_per_band: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Open-world embedding near-dup pairs at scale: banded sign-LSH
+    candidate generation + exact cosine verify.
+
+    Each band is an independent ``planes_per_band``-bit sign bucket (its
+    own hyperplane family); a pair becomes a candidate when ≥1 band
+    matches exactly — the MinHash-banding shape on the random-hyperplane
+    sketch.  Expected candidates for unrelated vectors shrink by
+    ~2^-planes_per_band per band, so the exact cosine runs on a tiny set
+    instead of the O(n²) cross join.  The explicit repartition makes
+    ReuseExchange compute the bucket projection once for both self-join
+    sides.  Output: (key_a, key_b, cos_sim rounded to 4dp) with
+    cos_sim ≥ threshold (compared on the ROUNDED value, so the decision
+    is engine-portable)."""
+    sig = df.select(
+        F.col(key).alias("k"),
+        F.col(vec).alias("v"),
+        *[
+            lsh_bucket_col(F.col(vec), dim, planes_per_band, b * planes_per_band).alias(
+                f"bkt{b}"
+            )
+            for b in range(bands)
+        ],
+    ).repartition("k")
+    banded = sig.select(
+        "k",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bkt{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "v", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cos = cosine_col(
+        F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
 
 
 def embedding_near_dup_pairs(

@@ -66,3 +66,30 @@ def test_pipeline_turn_seq(spark, tmp_path):
     # dense 0..n-1 in the corpus, so turn_seq == turn_idx + 1)
     bad = data.filter(F.col("turn_seq") != F.col("turn_idx") + 1).count()
     assert bad == 0
+
+
+def test_embedding_near_dup_lsh_finds_clones(spark):
+    """Exact clones share every sign bucket — the banded LSH join must
+    surface every clone pair with cos 1.0, without a cross join."""
+    import hashlib
+
+    from table_ocr_spark.operators.similarity import embedding_near_dup_lsh
+
+    def vec(seed, dim=16):
+        return [
+            (int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:4], 16) % 200 - 100)
+            / 100.0
+            for d in range(dim)
+        ]
+
+    rows = [(i, vec(i)) for i in range(20)] + [(100 + i, vec(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.key_a, r.key_b): r.cos_sim
+        for r in embedding_near_dup_lsh(df, dim=16, threshold=0.95).collect()
+    }
+    for i in range(20):
+        assert pairs.get((i, 100 + i)) == 1.0, f"clone pair {i} missed"
+    # no cartesian product in the plan
+    plan = embedding_near_dup_lsh(df, dim=16)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
