@@ -350,6 +350,16 @@ def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d.unionByName(clones), max_bucket_size=50)
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (iterative min-label
+    propagation) over the LSH candidate pairs → (member, component-min).
+    The oracle computes the same components with a recursive CTE."""
+    from table_ocr_spark.operators.dedup import minhash_lsh_pairs, near_dup_components
+
+    pairs = minhash_lsh_pairs(_with_dups(_docs(spark, sf_dir)), "text", "doc_id")
+    return near_dup_components(pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.dedup import simhash_col
 
@@ -607,6 +617,63 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with predicates on both fact and dim
+    sides, group-by revenue, deterministic top-k."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered semi-join of an aggregate subquery
+    against the fact, then join back to the dims."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational fringe: TPC-H Q1-style aggregate (bench headliner)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -672,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_capped": q_minhash_lsh_capped,
+        "near_dup_components": q_near_dup_components,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -686,6 +754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "extract_mode_stats": q_extract_mode_stats,
         "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q18_large_orders": q_q18_large_orders,
         "q6_revenue_delta": q_q6_revenue_delta,
         "order_priority_counts": q_order_priority_counts,
         "segment_revenue": q_segment_revenue,
@@ -824,6 +894,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM sigs, (SELECT unnest(range(4)) AS band) _b WHERE sig[1] IS NOT NULL"
     )
 
+    lsh_pairs_sql = (
+        f"WITH docs2 AS ({dup_union}), "
+        f"sigs AS (SELECT doc_id, (SELECT list_value("
+        + ", ".join(
+            "list_min(list_transform(sh, s -> " + _SQL_HASH60.format(x=f"s || '#{j}'") + "))"
+            for j in range(8)
+        )
+        + f") FROM (SELECT list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
+        f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1])) AS sh) _s) AS sig FROM docs2), "
+        f"banded AS ({band_bucket}) "
+        f"SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "
+        f"FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+
     return {
         "extract_html_clean": (
             f"SELECT doc_id, {_SQL_NORM_TEXT} AS clean_text FROM documents"
@@ -895,18 +979,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({dup_union}) GROUP BY 1 HAVING count(*) > 1"
         ),
         "minhash_signature": f"SELECT doc_id, {sig_expr} AS sig FROM documents",
-        "minhash_lsh_pairs": (
-            f"WITH docs2 AS ({dup_union}), "
-            f"sigs AS (SELECT doc_id, (SELECT list_value("
-            + ", ".join(
-                "list_min(list_transform(sh, s -> " + _SQL_HASH60.format(x=f"s || '#{j}'") + "))"
-                for j in range(8)
-            )
-            + f") FROM (SELECT list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
-            f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1])) AS sh) _s) AS sig FROM docs2), "
-            f"banded AS ({band_bucket}) "
-            f"SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "
-            f"FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        "minhash_lsh_pairs": lsh_pairs_sql,
+        "near_dup_components": (
+            f"WITH RECURSIVE pairs AS ({lsh_pairs_sql}), "
+            "edges AS (SELECT key_a AS src, key_b AS dst FROM pairs "
+            "UNION SELECT key_b AS src, key_a AS dst FROM pairs), "
+            "reach AS (SELECT src, dst FROM edges "
+            "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+            "SELECT src AS member, least(src, min(dst)) AS component FROM reach GROUP BY src"
         ),
         "minhash_lsh_capped": (
             f"WITH docs2 AS ({dup_union} "
@@ -1006,6 +1086,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'explicit_markup' AS mode, count(*)::BIGINT AS n_turns, "
             "(3 * sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END))::BIGINT AS total_rows "
             "FROM documents"
+        ),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, floor(epoch(o_orderdate))::BIGINT AS o_date, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-01-01' "
+            "AND l_shipdate > DATE '1998-01-01' "
+            "GROUP BY l_orderkey, o_date, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "q18_large_orders": (
+            "SELECT c_name, c_custkey, o_orderkey, floor(epoch(o_orderdate))::BIGINT AS o_date, "
+            "round(o_totalprice, 2) AS o_totalprice, round(total_qty, 2) AS total_qty "
+            "FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big "
+            "ON o_orderkey = big.l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
         ),
         "q6_revenue_delta": (
             "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "

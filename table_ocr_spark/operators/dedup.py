@@ -287,6 +287,77 @@ def hamming16_col(a: Column, b: Column) -> Column:
     return out.cast("int")
 
 
+# ------------------------------------------------ near-dup clustering -----
+def near_dup_components(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over candidate near-dup pairs → (member,
+    component) where component = min key in the member's component.
+
+    This is the step that turns pair LISTS into a dedup ACTION: members of
+    one component are the same document family; keep min(key) per family.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup families are dense, diameter is
+    tiny).  Each round is one shuffle join on the (small) label frame +
+    map-side-combined groupBy; the driver loop stops early when a round
+    changes nothing (a bounded count per round, not a collect of labels).
+    At 100 TB this is the standard large-graph CC loop; AQE re-plans each
+    round as the frontier shrinks.
+    """
+    edges = (
+        pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+        .unionByName(pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member"), F.col("label").alias("component"))
+
+
+def dedup_near_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (the component's min key) per near-dup
+    family; docs in no pair keep themselves.  Returns df rows whose key is
+    a representative — the deduplicated corpus."""
+    comps = near_dup_components(pairs)
+    drop = comps.filter(F.col("member") != F.col("component")).select(
+        F.col("member").alias(key)
+    )
+    return df.join(drop, key, "left_anti")
+
+
 # ------------------------------------------------------- n-gram jaccard ---
 def jaccard_words_col(a: Column, b: Column) -> Column:
     """Word-set Jaccard between two text columns (distinct whitespace

@@ -39,30 +39,93 @@ def skewed_conv_ids(df: DataFrame, threshold: int) -> DataFrame:
     )
 
 
+def effective_skew_threshold(
+    df: DataFrame, cfg: ExtractorConfig, num_partitions: int | None
+) -> int:
+    """Skew threshold relative to the actual per-task row budget.
+
+    A conversation is a straggler only when it is large RELATIVE to what a
+    task holds: salting a 1.5k-turn conversation when tasks average 8k
+    turns shuffles bytes to fix a skew that does not exist (measured on the
+    sf0.1 bench corpus: the static floor of 1000 salted 61% of all rows).
+    The effective threshold is
+
+        max(cfg.skew_turns_threshold, total_turns / partitions / 2)
+
+    — a conversation may occupy up to half a task before it shuffles.  The
+    count is one narrow-column aggregate (conv_id only reaches the scan).
+    As data grows 100× with the partition count held, the budget grows and
+    the threshold rises with it; with partitions scaled to the data (the
+    cluster case) it converges to the static floor.
+    """
+    thr = cfg.skew_turns_threshold
+    if not num_partitions:
+        return thr
+    total = df.select(F.count(F.lit(1)).alias("n")).first()["n"]
+    return max(thr, total // num_partitions // 2)
+
+
+def heavy_conv_ids_materialized(
+    df: DataFrame, threshold: int, cap: int = 10_000
+) -> list | None:
+    """Collect the heavy-hitter conv_id set to the driver ONCE.
+
+    Heavy hitters are few by construction (each holds > threshold rows, so
+    at most total/threshold exist); a materialized literal set beats a
+    broadcast-join subplan two ways at scale: (1) the sketch aggregation
+    runs once per JOB instead of re-executing inside every downstream
+    action that references the plan, (2) the resulting IN-filter is a
+    plain predicate — pushed into the parquet scan, no build side at all.
+    Returns None when the set exceeds ``cap`` (adversarial corpus) — the
+    caller falls back to the broadcast-join form.
+    """
+    rows = skewed_conv_ids(df, threshold).limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [r.conv_id for r in rows]
+
+
 def salted_repartition(
     df: DataFrame,
     cfg: ExtractorConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
+    adaptive_threshold: bool = True,
 ) -> DataFrame:
     """Selective skew salting: shuffle ONLY the heavy conversations.
 
     Rows of normal conversations keep their scan partitioning — zero
     shuffle bytes for the balanced majority.  Rows of heavy conversations
-    (the skew sketch's output) are salted by ``turn_idx % salt_buckets``
-    and repartitioned so no single task owns a whole long conversation.
-    The two branches union; per-turn extraction is order-free so the union
-    is semantics-free (any ordering requirement is applied downstream via
-    Window/sortWithinPartitions per the north rule).
+    (the skew sketch's output, materialized to a literal IN-set) are
+    salted by ``turn_idx % salt_buckets`` and repartitioned so no single
+    task owns a whole long conversation.  The two branches union; per-turn
+    extraction is order-free so the union is semantics-free (any ordering
+    requirement is applied downstream per the north rule).
 
-    Versus salting everything: shuffle volume drops from 100% of the input
-    to exactly the skewed tail — at 100 TB that is the difference between
-    re-shuffling the corpus and re-shuffling a few hot conversations.
+    The threshold is budget-relative by default (``adaptive_threshold``):
+    a conversation shuffles only when it exceeds half the per-task row
+    budget — salting a 1.5k-turn conv when tasks hold 8k turns moves bytes
+    to fix a skew that does not exist (the static floor salted 61% of the
+    sf0.1 bench corpus).  Versus salting everything: shuffle volume drops
+    from 100% of the input to exactly the stragglers.
     """
-    heavy = skewed_conv_ids(df, cfg.skew_turns_threshold)
-    light_rows = df.join(F.broadcast(heavy), "conv_id", "left_anti")
-    heavy_rows = (
-        df.join(F.broadcast(heavy), "conv_id", "left_semi")
-        .withColumn("_salt", F.pmod(F.col("turn_idx"), F.lit(cfg.salt_buckets)))
+    thr = (
+        effective_skew_threshold(df, cfg, num_partitions or cfg.target_partitions)
+        if adaptive_threshold
+        else cfg.skew_turns_threshold
+    )
+    heavy_list = heavy_conv_ids_materialized(df, thr)
+    if heavy_list is not None:
+        if not heavy_list:
+            return df  # no stragglers: zero shuffle, scan partitioning stands
+        is_heavy = F.col("conv_id").isin(heavy_list)
+        light_rows = df.filter(~is_heavy)
+        heavy_rows = df.filter(is_heavy)
+    else:  # adversarial: too many heavy convs to inline — broadcast join
+        heavy = skewed_conv_ids(df, thr)
+        light_rows = df.join(F.broadcast(heavy), "conv_id", "left_anti")
+        heavy_rows = df.join(F.broadcast(heavy), "conv_id", "left_semi")
+    heavy_rows = heavy_rows.withColumn(
+        "_salt", F.pmod(F.col("turn_idx"), F.lit(cfg.salt_buckets))
     )
     n = num_partitions or cfg.target_partitions
     if n:

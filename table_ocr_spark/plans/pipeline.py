@@ -39,7 +39,11 @@ from pyspark.sql.window import Window as WindowSpec
 
 from table_ocr_spark.config import DEFAULT_CONFIG, ExtractorConfig
 from table_ocr_spark.operators.extract_job import bucket_expr, with_extraction
-from table_ocr_spark.operators.skew import skewed_conv_ids
+from table_ocr_spark.operators.skew import (
+    effective_skew_threshold,
+    heavy_conv_ids_materialized,
+    skewed_conv_ids,
+)
 from table_ocr_spark.sources.catalog import ExtractionTable
 
 
@@ -64,19 +68,28 @@ def _salted_bucketed(df: DataFrame, cfg: ExtractorConfig, n_buckets: int) -> Dat
     embarrassingly parallel, so this is semantics-free); normal convs keep
     salt=0 and stay co-located within their bucket.
     """
-    heavy = skewed_conv_ids(df, cfg.skew_turns_threshold).withColumn("_is_heavy", F.lit(True))
-    out = (
-        df.withColumn("bucket", bucket_expr(n_buckets))
-        .join(F.broadcast(heavy), "conv_id", "left")
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("_is_heavy").isNotNull(),
-                F.pmod(F.col("turn_idx"), F.lit(cfg.salt_buckets)),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_is_heavy")
+    parts = cfg.target_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    thr = effective_skew_threshold(df, cfg, parts)
+    salt = F.pmod(F.col("turn_idx"), F.lit(cfg.salt_buckets))
+    out = df.withColumn("bucket", bucket_expr(n_buckets))
+    heavy_list = heavy_conv_ids_materialized(df, thr)
+    if heavy_list is not None:
+        # heavy set inlined as a literal predicate: sketch runs once per
+        # job, not per downstream action; no broadcast build side
+        is_heavy = F.col("conv_id").isin(heavy_list) if heavy_list else F.lit(False)
+        out = out.withColumn("_salt", F.when(is_heavy, salt).otherwise(F.lit(0)))
+    else:  # adversarial fallback: too many heavy convs to inline
+        heavy = skewed_conv_ids(df, thr).withColumn("_is_heavy", F.lit(True))
+        out = (
+            out.join(F.broadcast(heavy), "conv_id", "left")
+            .withColumn(
+                "_salt",
+                F.when(F.col("_is_heavy").isNotNull(), salt).otherwise(F.lit(0)),
+            )
+            .drop("_is_heavy")
+        )
     parts = cfg.target_partitions
     if parts:
         out = out.repartition(parts, "bucket", "_salt")

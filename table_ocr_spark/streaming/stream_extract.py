@@ -63,6 +63,31 @@ def start_extract_stream(
     return writer.start()
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: content-fingerprint ``dropDuplicatesWithin
+    Watermark`` over the transcript stream.
+
+    The batch operator (operators/dedup.dedup_exact) keys a window on the
+    fingerprint; streams cannot hold unbounded dedup state, so state is
+    bounded by the event-time watermark — a duplicate arriving within the
+    watermark of its first occurrence is dropped, older state is evicted
+    (the standard at-scale trade: exactly-bounded memory for a bounded
+    dedup horizon).  Returns the deduplicated stream; pair with any sink.
+    """
+    from table_ocr_spark.operators.textstats import fingerprint_col
+
+    src = read_transcript_stream(spark, input_dir)
+    return (
+        src.withColumn("fingerprint", fingerprint_col("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def events_windowed_counts(
     spark: SparkSession,
     events_dir: str,

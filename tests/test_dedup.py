@@ -175,3 +175,36 @@ def test_simhash_banded_join_complete_vs_brute_force(spark):
 
     with pytest.raises(ValueError):
         simhash_near_dup_pairs(df, max_hamming=4)  # pigeonhole violated
+
+
+def test_near_dup_components_and_representatives(spark):
+    """Min-label propagation must find exact connected components and the
+    representative filter must keep exactly one doc per family."""
+    from table_ocr_spark.operators.dedup import (
+        dedup_near_representatives,
+        near_dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 9), (5, 6), (20, 21)], "key_a long, key_b long"
+    )
+    comps = {r.member: r.component for r in near_dup_components(pairs).collect()}
+    assert comps == {0: 0, 1: 0, 2: 0, 9: 0, 5: 5, 6: 5, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [0, 1, 2, 9, 5, 6, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_near_representatives(docs, pairs).collect()}
+    assert kept == {0, 5, 20, 99}  # one per family + the unpaired doc
+
+
+def test_near_dup_components_long_chain_converges(spark):
+    """A path graph exercises multi-round convergence (diameter > 1)."""
+    from table_ocr_spark.operators.dedup import near_dup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "key_a long, key_b long"
+    )
+    comps = near_dup_components(chain).collect()
+    assert all(r.component == 0 for r in comps) and len(comps) == 13

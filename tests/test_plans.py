@@ -59,11 +59,30 @@ def test_filter_pushdown_reaches_scan(spark, src):
     assert "EqualTo(conv_id" in plan
 
 
-def test_skew_sketch_uses_broadcast(spark, src):
+def test_skew_salt_is_literal_predicate(spark, src):
+    """The materialized heavy-hitter set must reach the plan as a plain
+    predicate (pushdown-able), not a join — and no broadcast build side."""
+    from table_ocr_spark.config import ExtractorConfig
     from table_ocr_spark.operators.skew import salted_repartition
 
-    plan = _plan(salted_repartition(src.select("conv_id", "turn_idx", "text")))
-    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    cfg = ExtractorConfig(skew_turns_threshold=5)  # corpus has heavy convs
+    df = salted_repartition(
+        src.select("conv_id", "turn_idx", "text"), cfg=cfg, adaptive_threshold=False
+    )
+    plan = _plan(df)
+    assert "Exchange" in plan  # the heavy branch does shuffle
+    assert "BroadcastExchange" not in plan, plan  # ...but via literal IN, no join
+    assert "conv_id" in plan and ("IN (" in plan or "isin" in plan.lower() or "In(" in plan), plan
+
+
+def test_skew_sketch_broadcast_fallback(spark, src):
+    """Adversarial corpora (heavy set too large to inline) fall back to the
+    broadcast-join form."""
+    from table_ocr_spark.operators.skew import heavy_conv_ids_materialized
+
+    sel = src.select("conv_id", "turn_idx", "text")
+    assert heavy_conv_ids_materialized(sel, threshold=5, cap=1) is None
+    assert heavy_conv_ids_materialized(sel, threshold=10**9) == []
 
 
 def test_exact_dedup_partial_aggregation(spark, src):
@@ -76,3 +95,32 @@ def test_exact_dedup_partial_aggregation(spark, src):
     )
     plan = _plan(exact_duplicates(df))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pipeline_turn_seq_join_hashes_composite_key(spark, src, tmp_path):
+    """The ordering join must exchange on BOTH key columns (conv_id AND
+    turn_idx) — hashing on conv_id alone would re-gather whole
+    conversations into single tasks, undoing the skew salting."""
+    from table_ocr_spark.config import DEFAULT_CONFIG
+    from table_ocr_spark.operators.extract_job import bucket_expr, with_extraction
+    from pyspark.sql.window import Window
+
+    keys = src.select("conv_id", "turn_idx", "text")
+    ex = with_extraction(keys).withColumn("bucket", bucket_expr(8))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = keys.select("conv_id", "turn_idx").withColumn(
+        "turn_seq", F.row_number().over(w)
+    )
+    # at test scale the planner would broadcast the tiny seq side (also
+    # fine — zero re-gather); disable it to see the at-scale SMJ plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ex.join(seq, ["conv_id", "turn_idx"])
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the extracted (text-heavy) side must partition on the composite key
+    assert "hashpartitioning(conv_id" in plan and "turn_idx" in plan.split(
+        "hashpartitioning(conv_id", 1
+    )[1][:80], plan

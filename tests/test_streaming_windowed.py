@@ -50,3 +50,42 @@ def test_events_windowed_stream_equals_batch(spark, tmp_path):
     assert len(merged) == len(got)
     assert (merged["n_s"] == merged["n_b"]).all()
     assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-9).all()
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Duplicate payloads arriving within the watermark are dropped;
+    AvailableNow drains to a deterministic result."""
+    import pandas as pd
+
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+    from table_ocr_spark.streaming.stream_extract import stream_dedup_exact
+
+    src_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2026-01-01 00:00:00", tz="UTC")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(6)],
+            "turn_idx": pd.array([0] * 6, dtype="int32"),
+            "role": ["user"] * 6,
+            # rows 0/1 and 2/3 are duplicate payloads; 4/5 unique
+            "text": ["same A", "same A", "same B", "same B", "uniq C", "uniq D"],
+            "tool": pd.array([None] * 6, dtype="string"),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(6)],
+        }
+    )
+    write_transcripts_parquet(pdf, src_dir, n_files=3)
+    q = (
+        stream_dedup_exact(spark, src_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    texts = sorted(r.text for r in got.select("text").collect())
+    assert texts == ["same A", "same B", "uniq C", "uniq D"]

@@ -95,10 +95,15 @@ def main() -> int:
         "The flagship is the extraction operator as designed: per-turn extraction",
         "is embarrassingly parallel, so the plan has no exchange at all — balance",
         "comes from scan partitioning. The selective-salted variant adds the",
-        "pipeline's pre-write balancing (only heavy conversations shuffle); its",
-        "residual cost here is the extra input scan + serialization through ONE",
-        "local disk, a resource that is fixed under local[N] but scales with",
-        "executor count on a real cluster.",
+        "pipeline's pre-write balancing: the skew threshold is budget-relative",
+        "(a conversation shuffles only when it exceeds half the per-task row",
+        "budget at the fixed 32-partition job setting — at this SF that is 4",
+        "straggler conversations, 6.4% of bytes; the 2k-4k-turn tail that fits",
+        "inside a task stays on its scan partitions), the heavy-hitter set is",
+        "materialized into a literal IN predicate (sketch runs once per job,",
+        "filter pushes to the scan), and both bench legs time the identical",
+        "plan. Residual overhead vs the flagship is the second filtered scan",
+        "of the union plus the small straggler shuffle.",
         "",
         f"SF dir: `{sf_dir}` (sf={hi['sf']}); corpus: deterministic synth transcripts",
         f"(seed 42, heavy-tailed conv lengths), {hi['turns']} turns.",
