@@ -105,15 +105,22 @@ def _lsh_banded(
     so they are filtered out before banding (mirrored in the SQL oracle).
     """
     rows_per_band = k // bands
+    # Shingle-less docs are filtered on the CAUSE (token count < shingle
+    # width) BEFORE the signature projection: filtering on the signature
+    # itself (sig[1] IS NOT NULL) gets predicate-pushed below the project,
+    # re-inlining the whole minhash expression into the filter and breaking
+    # ReuseExchange — measured 3.8 s → 62 s at sf0.1 before this was moved.
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    has_shingles = F.size(toks) >= shingle_n
     # Exchange after the signature projection: (1) CollapseProject cannot
     # re-inline the expensive sig expression into each of the 2×bands
     # element_at references below, (2) ReuseExchange computes the subtree
     # ONCE for both sides of the self-join (observed 35 s → ~2 s at sf0.01).
     sig = (
-        df.select(
+        df.filter(has_shingles)
+        .select(
             F.col(key).alias("k"), minhash_signature_col(text, k, shingle_n).alias("sig")
         )
-        .filter(F.element_at("sig", 1).isNotNull())
         .repartition("k")
     )
     return sig.select(
