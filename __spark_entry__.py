@@ -419,6 +419,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cos_sim") >= 0.0)
 
 
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): deterministic
+    total order (-cos, key) so results are stable across partitionings."""
+    from table_ocr_spark.operators.similarity import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk(e, [float(x) for x in qv], k=20)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-pruned top-k (the ANN scale path): only rows whose 8-plane
+    sign bucket is within Hamming 1 of the query's bucket are exactly
+    re-ranked. The oracle recomputes the identical buckets in SQL."""
+    from table_ocr_spark.operators.similarity import cosine_topk_lsh
+
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk_lsh(e, [float(x) for x in qv], k=20, planes=8, max_hamming=1)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-world near-dup pairs: banded sign-LSH candidates (2 bands × 8
     deterministic hyperplanes) + exact cosine verify — no O(n²) cross
@@ -744,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_scores": q_cosine_scores,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cells_flat": q_cells_flat,
@@ -1028,6 +1053,19 @@ def oracle_sql() -> dict[str, str]:
         "cosine_scores": (
             f"SELECT e.vec_id, round({cos}, 4) AS cos_sim "
             f"FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q"
+        ),
+        "cosine_topk": (
+            f"SELECT e.vec_id, round({cos}, 4) AS cos_sim "
+            f"FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+            f"ORDER BY {cos} DESC, e.vec_id LIMIT 20"
+        ),
+        "cosine_topk_lsh": (
+            f"WITH qb AS (SELECT {_sql_sign_bucket(0)} AS b FROM embeddings WHERE vec_id = 0), "
+            f"bk AS (SELECT vec_id, embedding, {_sql_sign_bucket(0)} AS b FROM embeddings) "
+            f"SELECT e.vec_id, round({cos}, 4) AS cos_sim "
+            f"FROM bk e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q, qb "
+            f"WHERE bit_count(xor(e.b, qb.b)) <= 1 "
+            f"ORDER BY {cos} DESC, e.vec_id LIMIT 20"
         ),
         "embedding_near_dup": (
             f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
