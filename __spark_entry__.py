@@ -258,6 +258,56 @@ def q_extract_layout_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _otsu_payload(df: DataFrame) -> DataFrame:
+    """Bimodal line-density payload: 4 word lines (density 1.0) interleaved
+    with 4 decoration lines (density ~0.1) — Otsu's between-class cut lands
+    between the modes, so exactly the decoration drops."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = lambda i: F.element_at(toks, i)  # noqa: E731
+    junk = "#### $$$$"
+    return df.withColumn(
+        "payload",
+        F.concat(
+            w(1), F.lit(f"\n{junk}\n"), w(2), F.lit(f"\n{junk}\n"),
+            w(3), F.lit(f"\n{junk}\n"), w(4), F.lit(f"\n{junk}"),
+        ),
+    )
+
+
+def q_extract_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Otsu density threshold (OtsuThresholder analog, behind
+    use_otsu): decoration lines below the between-class cut vanish from
+    the heuristic mode's clean text."""
+    from table_ocr_spark.config import ExtractorConfig
+
+    cfg = ExtractorConfig(name="otsu", mode="heuristic_layout", use_otsu=True)
+    ex = _extracted(spark, sf_dir, _otsu_payload, cfg=cfg)
+    return ex.select("doc_id", "clean_text")
+
+
+def _adaptive_payload(df: DataFrame) -> DataFrame:
+    """12 identical word lines around one zero-density decoration line —
+    the local block_size window mean stays high, so only the decoration
+    falls below (mean − density_constant)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    line = F.concat(F.element_at(toks, 1), F.lit(" "), F.element_at(toks, 2))
+    return df.withColumn(
+        "payload",
+        F.concat_ws("\n", *([line] * 6), F.lit("#####$$$$$"), *([line] * 6)),
+    )
+
+
+def q_extract_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local adaptive density threshold (GaussianAdaptiveThresholder
+    analog): a line sparser than its block_size neighborhood − C is
+    background; the surrounding prose survives untouched."""
+    from table_ocr_spark.config import ExtractorConfig
+
+    cfg = ExtractorConfig(name="adaptive", mode="heuristic_layout")
+    ex = _extracted(spark, sf_dir, _adaptive_payload, cfg=cfg)
+    return ex.select("doc_id", "clean_text")
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import token_count_col
 
@@ -495,6 +545,34 @@ def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("turn_idx").cast("long").alias("turn_idx"),
         "text_stripped",
+    )
+
+
+def q_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation extraction rollup (the lineage/metrics-style
+    aggregate): each doc becomes a 2-turn conversation (html-wrapped +
+    markdown-table payload) with fully SQL-predictable metrics."""
+    from table_ocr_spark.operators.conv_scope import conv_metrics
+    from table_ocr_spark.operators.extract_job import with_extraction
+
+    d = _docs(spark, sf_dir)
+    h = _html_wrapped(d).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("payload").alias("text"),
+    )
+    m = _md_payload(d).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(1).cast("int").alias("turn_idx"),
+        F.col("payload").alias("text"),
+    )
+    cm = conv_metrics(with_extraction(h.unionByName(m)))
+    return cm.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.round("bp_avg", 6).alias("bp_avg"),
+        "cell_count",
+        "max_clean_len",
     )
 
 
@@ -747,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_mode_ratio": q_extract_html_mode_ratio,
         "extract_md_cells": q_extract_md_cells,
         "extract_md_spans": q_extract_md_spans,
+        "extract_otsu": q_extract_otsu,
+        "extract_adaptive": q_extract_adaptive,
         "extract_layout_cells": q_extract_layout_cells,
         "extract_layout_spans": q_extract_layout_spans,
         "extract_layout_clean": q_extract_layout_clean,
@@ -772,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cells_flat": q_cells_flat,
+        "conv_metrics": q_conv_metrics,
         "conv_boilerplate_strip": q_conv_boilerplate_strip,
         "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
         "events_windowed": q_events_windowed,
@@ -952,6 +1033,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, 1::BIGINT AS span_row, 0::BIGINT AS span_col, "
             f"28::BIGINT AS span_start, (28 + length({w(1)}))::BIGINT AS span_end FROM documents"
         ),
+        "extract_otsu": (
+            f"SELECT doc_id, {w(1)} || chr(10) || {w(2)} || chr(10) || {w(3)} || chr(10) || {w(4)} "
+            f"AS clean_text FROM documents"
+        ),
+        "extract_adaptive": (
+            f"SELECT doc_id, repeat({w(1)} || ' ' || {w(2)} || chr(10), 11) "
+            f"|| {w(1)} || ' ' || {w(2)} AS clean_text FROM documents"
+        ),
         "extract_md_conf": (
             # conf = plain-char fraction: 'w1!!' → len/(len+2); '(w2)' → len/(len+2)
             f"SELECT doc_id, {w(1)} || '!!' AS cell_10, "
@@ -1093,6 +1182,16 @@ def oracle_sql() -> dict[str, str]:
             # unique within its conversation → kept verbatim
             f"SELECT doc_id, t AS turn_idx, {_SQL_TOKS}[t::INT + 1] || '-' || t::VARCHAR AS text_stripped "
             f"FROM documents, (SELECT unnest(range(5)) AS t) _r"
+        ),
+        "conv_metrics": (
+            "SELECT doc_id, 2::BIGINT AS n_turns, "
+            f"round(((1.0 - length({_SQL_NORM_TEXT})::DOUBLE / length({_SQL_HTML_PAYLOAD})::DOUBLE) "
+            f"+ (1.0 - length(md_clean)::DOUBLE / length(md_payload)::DOUBLE)) / 2, 6) AS bp_avg, "
+            "6::BIGINT AS cell_count, "
+            f"greatest(length({_SQL_NORM_TEXT}), length(md_clean))::BIGINT AS max_clean_len "
+            "FROM (SELECT *, "
+            f"'c0 c1' || chr(10) || {w(1)} || ' ' || {w(2)} || chr(10) || {w(3)} || ' ' || {w(4)} AS md_clean, "
+            f"{md_payload} AS md_payload FROM documents)"
         ),
         "conv_boilerplate_strip_hashed": (
             f"SELECT doc_id, t AS turn_idx, {_SQL_TOKS}[t::INT + 1] || '-' || t::VARCHAR AS text_stripped "
