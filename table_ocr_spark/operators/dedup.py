@@ -307,14 +307,16 @@ def near_dup_components(
     This is the step that turns pair LISTS into a dedup ACTION: members of
     one component are the same document family; keep min(key) per family.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds (near-dup families are dense, diameter is
-    tiny).  Each round is one shuffle join on the (small) label frame +
-    map-side-combined groupBy; the driver loop stops early when a round
-    changes nothing (a bounded count per round, not a collect of labels).
-    At 100 TB this is the standard large-graph CC loop; AQE re-plans each
-    round as the frontier shrinks.
+    Algorithm: min-label propagation WITH pointer jumping — each round
+    every node takes (1) the min of its own and its neighbors' labels,
+    then (2) its label's label (path shortcut).  The shortcut halves the
+    remaining chain depth, so convergence is O(log diameter) rounds (plain
+    propagation is O(diameter) — a 400-doc near-dup chain at small SF
+    needs hundreds of rounds without it).  Each round is two joins + one
+    map-side-combined groupBy over the NARROW (node, label) frame; the
+    driver loop stops when a round changes nothing (a bounded limit(1)
+    count, never a label collect); lineage is cut per round.  This is the
+    standard large-graph CC loop at 10^12-row scale.
     """
     edges = (
         pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
@@ -325,6 +327,7 @@ def near_dup_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -332,19 +335,33 @@ def near_dup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        step1 = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label ← label's label (labels[x] ≤ x invariant makes
+        # the shortcut monotone; a label is always an existing node id)
+        parent = step1.select(
+            F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            step1.join(parent, step1.label == parent._pnode, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "_old",
+                F.least(F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))).alias(
                     "label"
                 ),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
+            .localCheckpoint(eager=True)  # cut the lineage per round
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
+        changed = new_labels.filter(F.col("label") < F.col("_old")).limit(1).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("member"), F.col("label").alias("component"))

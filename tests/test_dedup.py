@@ -200,11 +200,13 @@ def test_near_dup_components_and_representatives(spark):
 
 
 def test_near_dup_components_long_chain_converges(spark):
-    """A path graph exercises multi-round convergence (diameter > 1)."""
+    """A 100-link path graph: plain O(diameter) propagation cannot finish
+    inside max_iterations=20 — only the pointer-jumping shortcut
+    (O(log diameter)) converges. Regression for the sf0.001 failure."""
     from table_ocr_spark.operators.dedup import near_dup_components
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "key_a long, key_b long"
+        [(i, i + 1) for i in range(100)], "key_a long, key_b long"
     )
-    comps = near_dup_components(chain).collect()
-    assert all(r.component == 0 for r in comps) and len(comps) == 13
+    comps = near_dup_components(chain, max_iterations=20).collect()
+    assert all(r.component == 0 for r in comps) and len(comps) == 101
