@@ -71,13 +71,12 @@ def _noop_write(df) -> None:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Default parallelism: HALF the vCPUs. In local mode every task slot
-    # also spawns a Python UDF worker, so local[nproc] schedules ~2×nproc
-    # hot threads — measured on this 32-vCPU box, local[32] collapses into
-    # kernel-side contention (system CPU 65-95%, 10× lower per-core UDF
-    # throughput) while local[16] scales at ~0.95 efficiency.  A real
-    # cluster sizes executor cores and Python workers separately, so this
-    # is a local-mode-only guard; an explicit SPARK_GRAFT_CPUS is honored.
+    # Default parallelism: HALF the vCPUs (in local mode every task slot
+    # also keeps a Python UDF worker hot).  An explicit SPARK_GRAFT_CPUS is
+    # honored either way: build_session now reserves a core per Python
+    # worker (spark.task.cpus=2) when local[N] saturates the host, so the
+    # driver's cpus=32 run no longer hits the oversubscription cliff
+    # (measured: flagship 13.75 s → ~6 s at local[32]).
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or max(4, (os.cpu_count() or 8) // 2)
     name = _sf_name(sf_dir)
 

@@ -15,9 +15,11 @@ Scale notes (100 TB): exact dedup is one shuffle on the fingerprint
 (map-side partial agg applies).  MinHash signatures are a projection;
 LSH banding explodes ×bands (bounded), buckets then group — the classic
 shuffle-join-on-band-hash; the final verify joins only candidate pairs.
-Broadcast nothing here: both sides are big; AQE handles bucket skew
-(hot buckets = near-identical boilerplate docs, which is exactly what
-salting-by-band already spreads).
+Broadcast nothing here: both sides are big.  AQE rebalances bucket skew
+but cannot bound the O(n²) PAIR COUNT of a hot bucket — that is what
+``max_bucket_size`` + the ``lsh_oversized_buckets`` quarantine view are
+for.  ``near_dup_components`` then folds candidate pairs into dup
+families (pointer-jumped connected components, O(log diameter) rounds).
 """
 
 from __future__ import annotations

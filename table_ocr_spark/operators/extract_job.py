@@ -13,9 +13,10 @@ inside the loop at detectors.py:1064-1082, the anti-pattern this design
 eliminates).
 
 Scale notes (100 TB / 10^12 turns):
-* extraction itself never shuffles; the only shuffles in the job are the
-  explicit load-balancing repartition (``skew.salted_repartition``) and the
-  tiny lineage aggregation;
+* extraction itself never shuffles; the only exchanges in the full job are
+  the explicit load-balancing repartition (``skew.salted_repartition``,
+  straggler conversations only) and the composite-key turn_seq ordering
+  join (plans/pipeline.py) — lineage metrics ride the write via observe();
 * column pruning: only (conv_id, turn_idx, text) feed the UDF — Catalyst
   prunes role/tool/ts at the parquet scan when callers don't select them;
 * output is cell-span-heavy but bounded: per-row output size is O(len(text)).

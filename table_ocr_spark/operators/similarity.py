@@ -10,9 +10,11 @@
   re-ranked.  At 10^12 rows the bucket filter prunes the scan by ~2^-P per
   matching band; the exact rerank touches a tiny candidate set.
 
-Embedding-cosine near-dup detection (`embedding_near_dup`) pairs
-consecutive ids — the cheap deterministic candidate generator used by the
-correctness oracle; LSH generates candidates at scale.
+Embedding-cosine near-dup detection: ``embedding_near_dup_pairs`` pairs
+consecutive ids (the cheap deterministic candidate generator used by one
+correctness oracle); ``embedding_near_dup_lsh`` is the open-world scale
+path — banded sign-LSH candidates + exact cosine verify, itself exactly
+oracled by inlining the md5-derived hyperplanes into SQL.
 """
 
 from __future__ import annotations
