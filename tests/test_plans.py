@@ -124,3 +124,27 @@ def test_pipeline_turn_seq_join_hashes_composite_key(spark, src, tmp_path):
     assert "hashpartitioning(conv_id" in plan and "turn_idx" in plan.split(
         "hashpartitioning(conv_id", 1
     )[1][:80], plan
+
+
+def test_q3_filters_reach_parquet_scans(spark):
+    """Q3's date and segment predicates must push into the parquet scans
+    (PushedFilters), not evaluate post-scan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q3_shipping_priority"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    assert plan.count("PushedFilters: [") >= 3
+    assert "GreaterThan(l_shipdate" in plan and "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+
+
+def test_layout_query_prunes_doc_columns(spark):
+    """The layout extraction queries read only doc_id + text at the scan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["extract_layout_cells"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = [ln for ln in scan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "url" not in read_schema
