@@ -410,6 +410,21 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(pairs)
 
 
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION end-to-end: LSH pairs → connected components →
+    keep one representative (component min) per near-dup family; docs in
+    no pair keep themselves."""
+    from table_ocr_spark.operators.dedup import (
+        dedup_near_representatives,
+        minhash_lsh_pairs,
+    )
+
+    d = _with_dups(_docs(spark, sf_dir)).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id")
+    kept = dedup_near_representatives(d, pairs, key="doc_id")
+    return kept.select("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.dedup import simhash_col
 
@@ -843,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_capped": q_minhash_lsh_capped,
         "near_dup_components": q_near_dup_components,
+        "dedup_near_keep": q_dedup_near_keep,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1119,6 +1135,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "
             "FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket "
             "AND a.doc_id < b.doc_id WHERE a.bsz <= 50"
+        ),
+        "dedup_near_keep": (
+            f"WITH RECURSIVE pairs AS ({lsh_pairs_sql}), "
+            "edges AS (SELECT key_a AS src, key_b AS dst FROM pairs "
+            "UNION SELECT key_b AS src, key_a AS dst FROM pairs), "
+            "reach AS (SELECT src, dst FROM edges "
+            "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+            "drop_set AS (SELECT src AS doc_id FROM reach GROUP BY src "
+            "HAVING least(src, min(dst)) <> src) "
+            f"SELECT doc_id FROM ({dup_union}) d "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM drop_set)"
         ),
         "simhash": f"SELECT doc_id, {_sql_simhash(16)} AS simhash FROM documents",
         "simhash_near_dup": (
