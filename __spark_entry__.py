@@ -336,6 +336,24 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over payloads with injected email/URL/long-id tokens —
+    the pre-training redaction pass, pure JVM regexp chain."""
+    from table_ocr_spark.operators.textstats import redact_pii_col
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = lambda i: F.element_at(toks, i)  # noqa: E731
+    payload = F.concat(
+        w(1),
+        F.lit(" reach bob.smith+a@mail-host.example.org or https://ex.io/p/"),
+        w(2),
+        F.lit("?id=9 ref 123456789 tail "),
+        w(3),
+    )
+    return d.select("doc_id", redact_pii_col(payload).alias("redacted"))
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import rolling_fingerprint_col
 
@@ -853,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "redact_pii": q_redact_pii,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1098,6 +1117,14 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": (
             r"SELECT doc_id, len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))::BIGINT"
             " AS n_bpe_tokens FROM documents"
+        ),
+        "redact_pii": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            f"{w(1)} || ' reach bob.smith+a@mail-host.example.org or https://ex.io/p/' "
+            f"|| {w(2)} || '?id=9 ref 123456789 tail ' || {w(3)}, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'https?://[^\\s]+', '<URL>', 'g'), "
+            "'\\d{7,}', '<NUM>', 'g') AS redacted FROM documents"
         ),
         "rolling_fingerprint": (
             f"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "

@@ -163,6 +163,26 @@ def fingerprint_col(text: str = "text") -> Column:
     return F.md5(norm)
 
 
+# Redaction patterns: RE2-compatible (no backrefs/lookaround), so the
+# identical pattern strings run in both Spark (java.util.regex) and the
+# DuckDB oracle (RE2) — exact cross-engine equality.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+LONG_NUM_RE = r"\d{7,}"
+
+
+def redact_pii_col(text: str | Column = "text") -> Column:
+    """Training-data PII scrub: emails → <EMAIL>, URLs → <URL>, long digit
+    runs (ids, phone numbers, 7+ digits) → <NUM>.  Pure JVM
+    ``regexp_replace`` chain — order matters (emails first, so the
+    address's domain dots are gone before URL matching; URLs before
+    numbers, so numeric path segments collapse into the <URL> token)."""
+    col = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, LONG_NUM_RE, "<NUM>")
+
+
 def with_textstats(df: DataFrame, text: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count_col(text))

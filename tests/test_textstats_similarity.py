@@ -105,3 +105,24 @@ def test_embedding_near_dup_pairs(spark, vecs_df):
     pairs = {(r.key_a, r.key_b): r.cos_sim for r in embedding_near_dup_pairs(vecs_df, threshold=0.9).collect()}
     assert (0, 1) in pairs  # cos(v0, v1) ≈ 0.994
     assert (2, 3) not in pairs  # orthogonal
+
+
+def test_redact_pii(spark):
+    from table_ocr_spark.operators.textstats import redact_pii_col
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@x-y.co.uk now",),
+            ("see https://a.io/p?q=1#z and http://b.c/d",),
+            ("id 12345678 but zip 12345 stays",),
+            ("clean text untouched",),
+        ],
+        "text string",
+    )
+    got = [r.r for r in df.select(redact_pii_col("text").alias("r")).collect()]
+    assert got == [
+        "mail <EMAIL> now",
+        "see <URL> and <URL>",
+        "id <NUM> but zip 12345 stays",
+        "clean text untouched",
+    ]
