@@ -428,6 +428,15 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(pairs)
 
 
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup verify stage: exact word-set Jaccard on the LSH candidate
+    pairs only (two narrow key+text hash joins — never all-pairs)."""
+    from table_ocr_spark.operators.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+    d = _with_dups(_docs(spark, sf_dir)).select("doc_id", "text")
+    return verify_pairs_jaccard(minhash_lsh_pairs(d), d, threshold=0.5)
+
+
 def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION end-to-end: LSH pairs → connected components →
     keep one representative (component min) per near-dup family; docs in
@@ -877,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_capped": q_minhash_lsh_capped,
         "near_dup_components": q_near_dup_components,
+        "near_dup_verified": q_near_dup_verified,
         "dedup_near_keep": q_dedup_near_keep,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1162,6 +1172,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "
             "FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket "
             "AND a.doc_id < b.doc_id WHERE a.bsz <= 50"
+        ),
+        "near_dup_verified": (
+            f"WITH pairs AS ({lsh_pairs_sql}), d2 AS ({dup_union}) "
+            "SELECT p.key_a, p.key_b, round(jac, 6) AS jaccard FROM ("
+            "SELECT p.key_a, p.key_b, "
+            "CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 "
+            "ELSE len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE END AS jac "
+            "FROM pairs p "
+            "JOIN (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sa FROM d2) a "
+            "ON a.doc_id = p.key_a "
+            "JOIN (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sb FROM d2) b "
+            "ON b.doc_id = p.key_b) p WHERE round(jac, 6) >= 0.5"
         ),
         "dedup_near_keep": (
             f"WITH RECURSIVE pairs AS ({lsh_pairs_sql}), "

@@ -296,6 +296,33 @@ def hamming16_col(a: Column, b: Column) -> Column:
     return out.cast("int")
 
 
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The verify stage of the dedup pipeline: exact word-set Jaccard on
+    the CANDIDATE pairs only (never all-pairs).  Joins the texts back on
+    each side — two hash joins keyed by doc id, shuffling only
+    (key, text) projections — and keeps pairs at ≥ ``threshold``
+    similarity (compared on the 6dp-rounded value: engine-portable).
+    Output: (key_a, key_b, jaccard)."""
+    a = df.select(F.col(key).alias("key_a"), F.col(text).alias("_ta"))
+    b = df.select(F.col(key).alias("key_b"), F.col(text).alias("_tb"))
+    return (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.round(jaccard_words_col(F.col("_ta"), F.col("_tb")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------ near-dup clustering -----
 def near_dup_components(
     pairs: DataFrame,
