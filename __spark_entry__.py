@@ -336,6 +336,16 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 (explode → map-side-combined count →
+    TakeOrdered) — the wordcount primitive of tokenizer training."""
+    from table_ocr_spark.operators.textstats import vocabulary_topk
+
+    return vocabulary_topk(_docs(spark, sf_dir), "text", k=100).select(
+        "token", F.col("freq").cast("long").alias("freq")
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over payloads with injected email/URL/long-id tokens —
     the pre-training redaction pass, pure JVM regexp chain."""
@@ -881,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "rolling_fingerprint": q_rolling_fingerprint,
         "redact_pii": q_redact_pii,
+        "vocab_topk": q_vocab_topk,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1127,6 +1138,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": (
             r"SELECT doc_id, len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))::BIGINT"
             " AS n_bpe_tokens FROM documents"
+        ),
+        "vocab_topk": (
+            "SELECT token, count(*)::BIGINT AS freq FROM ("
+            f"SELECT unnest({_SQL_TOKS_L}) AS token FROM documents) "
+            "WHERE token <> '' GROUP BY token ORDER BY freq DESC, token LIMIT 100"
         ),
         "redact_pii": (
             "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("

@@ -183,6 +183,23 @@ def redact_pii_col(text: str | Column = "text") -> Column:
     return F.regexp_replace(out, LONG_NUM_RE, "<NUM>")
 
 
+def vocabulary_topk(df: DataFrame, text: str = "text", k: int = 100) -> Column | DataFrame:
+    """Corpus vocabulary: token → frequency, deterministic top-k
+    (freq DESC, token ASC).  The wordcount shape at scale: explode is a
+    generator (no shuffle), the groupBy partial-aggregates map-side so
+    only (token, partial_count) rows cross the exchange, and top-k is a
+    TakeOrdered, not a full sort."""
+    tok = F.explode(F.split(F.trim(F.lower(F.col(text))), r"\s+")).alias("token")
+    return (
+        df.select(tok)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def with_textstats(df: DataFrame, text: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count_col(text))
