@@ -827,6 +827,48 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact joined through a broadcast dim chain
+    (supplier → nation → region) with a region predicate that prunes the
+    chain before it ever touches the fact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
+    dims = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup: revenue by brand (broadcast the part dim,
+    prune it to the two join/group columns)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational fringe: TPC-H Q1-style aggregate (bench headliner)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -918,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q18_large_orders": q_q18_large_orders,
+        "q5_region_revenue": q_q5_region_revenue,
+        "brand_revenue": q_brand_revenue,
         "q6_revenue_delta": q_q6_revenue_delta,
         "order_priority_counts": q_order_priority_counts,
         "segment_revenue": q_segment_revenue,
@@ -1315,6 +1359,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'explicit_markup' AS mode, count(*)::BIGINT AS n_turns, "
             "(3 * sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END))::BIGINT AS total_rows "
             "FROM documents"
+        ),
+        "q5_region_revenue": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*)::BIGINT AS n_items FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "brand_revenue": (
+            "SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*)::BIGINT AS n_items FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, floor(epoch(o_orderdate))::BIGINT AS o_date, o_orderpriority, "
