@@ -23,26 +23,11 @@ def build_session(
 ) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    # Local-mode core-per-worker sizing: every task slot that runs a pandas
-    # UDF also keeps a Python worker hot, so local[N] schedules ~2N busy
-    # threads.  On this 32-vCPU box local[16] scales at ~0.95 efficiency
-    # while local[32] collapses into kernel-side contention (system CPU
-    # 65-95%, ~10× lower per-core Arrow-UDF throughput — measured round 1:
-    # flagship 5.39 s at local[16] vs 13.75 s at local[32]).  Reserving two
-    # scheduler cores per task (spark.task.cpus=2) once the declared core
-    # count saturates the machine is exactly what a real cluster does by
-    # sizing executor cores vs Python workers separately; it caps concurrent
-    # (JVM task + Python worker) pairs at the physical core count.  Only
-    # applied when local[N] oversubscribes the host — small-N scaling runs
-    # (local[4]/local[16]) keep one core per task.
-    host_cores = os.cpu_count() or cores
-    task_cpus = 2 if cores >= max(24, host_cores) else 1
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, cores // task_cpus)
+        shuffle_partitions = max(8, cores)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -61,3 +46,41 @@ def build_session(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def python_worker_budget(spark: SparkSession) -> int | None:
+    """Concurrent-Python-worker cap for Arrow-UDF stages, or None for no cap.
+
+    In local mode every task slot that evaluates a pandas UDF keeps BOTH a
+    JVM thread and a Python worker hot, so local[N] schedules ~2N busy
+    threads.  On this 32-vCPU box local[16] scales at ~0.95 efficiency while
+    local[32] collapses into kernel-side contention (system CPU 65-95%, ~10×
+    lower per-core Arrow throughput — measured round 1: flagship 5.39 s at
+    local[16] vs 13.75 s at local[32]).  Round 2 fixed this with a session-
+    wide ``spark.task.cpus=2``, which recovered the flagship but halved task
+    slots for pure-JVM stages too (driver bench: minhash 3.83→10.55 s,
+    simhash 0.76→2.08 s).  The scoped fix: keep one core per task and bound
+    concurrency ONLY where the Python workers exist — the partition count of
+    the UDF stage input (partitions bound concurrent Arrow workers; every
+    JVM stage keeps all N slots).
+
+    On a real cluster this corresponds to executor-core sizing / stage-level
+    resource profiles, where the scheduler — not the partition count — owns
+    the worker budget; hence None (no cap) off local mode or when local[N]
+    leaves headroom (N < max(24, host cores)).
+    """
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        return None
+    host = os.cpu_count() or 4
+    inner = master[len("local") :].strip("[]")
+    if inner in ("", "*"):
+        slots = host
+    else:
+        try:
+            slots = int(inner.split(",")[0])
+        except ValueError:
+            return None
+    if slots >= max(24, host):
+        return max(1, host // 2)
+    return None
