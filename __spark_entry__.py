@@ -544,6 +544,33 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LITERAL deterministic codebook: nearest-centroid
+    assignment (rounded-dot argmax, ties to lower list), n_probe nearest
+    lists pruned, exact cosine rerank inside the probed lists only.  The
+    md5-derived unit centroids are inlined into the oracle SQL, so
+    assignment + probe + rerank are all exactly checked (the KMeans-fit
+    path, ivf_index, is recall-tested against brute force in pytest).
+    Analog of the reference's index-then-search two-stage split
+    (detect-then-OCR, detectors.py:713-750 → :1024-1120)."""
+    from table_ocr_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    e = _emb(spark, sf_dir)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = deterministic_centroids(dim=64, n_lists=8)
+    assigned = ivf_assign(e, cents)
+    top = ivf_topk(assigned, cents, qv, k=20, n_probe=3)
+    return top.select(
+        "vec_id",
+        F.col("_list").alias("ivf_list"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-world near-dup pairs: banded sign-LSH candidates (2 bands × 8
     deterministic hyperplanes) + exact cosine verify — no O(n²) cross
@@ -947,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_scores": q_cosine_scores,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cells_flat": q_cells_flat,
@@ -1057,6 +1085,41 @@ def _sql_sign_bucket(band: int, planes_per_band: int = 8, dim: int = 64) -> str:
             f"THEN {2 ** i} ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _sql_ivf_topk(n_lists: int = 8, dim: int = 64, n_probe: int = 3, k: int = 20) -> str:
+    """IVF oracle with the SAME md5-derived unit codebook inlined as SQL
+    literals: rounded-dot argmax assignment (ties → lower list), rounded-dot
+    probe ranking, exact cosine rerank — mirrors similarity.ivf_assign /
+    ivf_probes / ivf_topk decision-for-decision."""
+    from table_ocr_spark.operators.similarity import deterministic_centroids
+
+    cents = deterministic_centroids(dim=dim, n_lists=n_lists)
+    values = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    cos_eq = (
+        "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
+    )
+    return (
+        f"WITH cents(list_id, cv) AS (VALUES {values}), "
+        "q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+        "probes AS (SELECT list_id FROM cents, q "
+        "ORDER BY round(list_dot_product(cv, q.embedding::DOUBLE[]), 6) DESC, list_id "
+        f"LIMIT {n_probe}), "
+        "assigned AS (SELECT vec_id, embedding, list_id AS ivf_list FROM ("
+        "SELECT e.vec_id, e.embedding, c.list_id, "
+        "row_number() OVER (PARTITION BY e.vec_id "
+        "ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cv), 6) DESC, c.list_id) AS rn "
+        "FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1) "
+        f"SELECT e.vec_id, e.ivf_list, round({cos_eq}, 4) AS cos_sim "
+        "FROM assigned e, q "
+        "WHERE e.ivf_list IN (SELECT list_id FROM probes) "
+        f"ORDER BY {cos_eq} DESC, e.vec_id LIMIT {k}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1292,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE bit_count(xor(e.b, qb.b)) <= 1 "
             f"ORDER BY {cos} DESC, e.vec_id LIMIT 20"
         ),
+        "ivf_topk": _sql_ivf_topk(n_lists=8, dim=64, n_probe=3, k=20),
         "embedding_near_dup": (
             f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
             f"FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "

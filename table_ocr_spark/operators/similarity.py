@@ -53,15 +53,18 @@ def cosine_topk(
     k: int = 10,
     vec: str = "embedding",
     key: str = "vec_id",
+    keep: Sequence[str] = (),
 ) -> DataFrame:
     """Brute-force top-k by cosine vs a literal query vector.
 
     Deterministic total order: (-cos, key) — ties break on key, so results
     are stable across partitionings (required for the equality oracle).
+    ``keep``: extra columns carried through (e.g. the IVF list id).
     """
     qc = _lit_vec(query)
     scored = df.select(
         F.col(key),
+        *[F.col(c) for c in keep],
         cosine_col(F.col(vec).cast("array<double>"), qc).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(key)).limit(k)
@@ -122,6 +125,87 @@ def cosine_topk_lsh(
     return cosine_topk(cand, query, k=k, vec=vec, key=key)
 
 
+def deterministic_centroids(dim: int, n_lists: int) -> List[List[float]]:
+    """Engine-neutral pseudo-random UNIT centroids from md5(list:dim).
+
+    Same derivation idea as ``hyperplane`` — any runtime hashing the same
+    strings gets the same codebook, so the IVF assignment/probe/rerank
+    path is exactly oracle-checkable with the centroids inlined as SQL
+    literals (no KMeans fit in the loop; the fitted path is ``ivf_index``,
+    recall-tested against brute force).  Centroids are L2-normalized at
+    construction: nearest-by-cosine then reduces to argmax of the plain
+    dot product (the row norm is constant across centroids), so the
+    per-row assignment needs no sqrt and no repeated norm subtree."""
+    import hashlib
+    import math
+
+    cents = [
+        [
+            int.from_bytes(hashlib.md5(f"ivf{c}:{d}".encode()).digest()[:4], "big")
+            / 2**31
+            - 1.0
+            for d in range(dim)
+        ]
+        for c in range(n_lists)
+    ]
+    out = []
+    for c in cents:
+        n = math.sqrt(sum(x * x for x in c))
+        out.append([round(x / n, 6) for x in c])
+    return out
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment as pure JVM expressions.
+
+    Adds ``_list`` = argmax over (unit) centroids of
+    round(dot(v, c_i), ``round_dp``), ties to the LOWER list id — for a
+    normalized codebook this IS nearest-by-cosine.  The argmax packs
+    (score, -list) structs into one array and takes ``array_max`` —
+    lexicographic struct comparison — instead of a CASE fold, which would
+    copy every earlier dot-product subtree per branch (Catalyst does no
+    CSE across CASE arms; the struct trick took lang_id 54 s → 1.2 s).
+    Rounding before the argmax makes the decision engine-portable: both
+    engines compare the same 6-dp values, so a 1-ulp dot-product
+    difference can't flip the assignment.  One projection, no shuffle;
+    the codebook ships as literals (n_lists × dim — the broadcastable
+    FAISS-IVF-codebook analog)."""
+    v = F.col(vec).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(dot_col(v, _lit_vec(c)), round_dp).alias("c"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("_list", (-F.array_max(scored)["ni"]).cast("int"))
+
+
+def ivf_probes(
+    centroids: Sequence[Sequence[float]],
+    query: Sequence[float],
+    n_probe: int,
+    round_dp: int = 6,
+) -> List[int]:
+    """The ``n_probe`` list ids nearest the query — driver-side planning
+    over the tiny codebook, same rounded-dot-product ranking as
+    ``ivf_assign`` so the probe set is engine-portable too."""
+    return sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -round(sum(x * y for x, y in zip(centroids[i], query)), round_dp),
+            i,
+        ),
+    )[:n_probe]
+
+
 def ivf_index(
     df: DataFrame,
     dim: int,
@@ -161,21 +245,13 @@ def ivf_topk(
 
     Scan cost drops to ~n_probe/n_lists of the table (with partition/file
     pruning when the table is written partitioned by ``_list``); recall is
-    tested against the brute-force operator.
+    tested against the brute-force operator, and with a literal codebook
+    (``deterministic_centroids`` + ``ivf_assign``) the whole
+    assign→probe→rerank path is exactly oracle-checked.
     """
-    import math
-
-    def _cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return 0.0 if na == 0 or nb == 0 else dot / (na * nb)
-
-    probes = sorted(range(len(centroids)), key=lambda i: (-_cos(centroids[i], query), i))[
-        :n_probe
-    ]
+    probes = ivf_probes(centroids, query, n_probe)
     cand = assigned.filter(F.col("_list").isin(probes))
-    return cosine_topk(cand, query, k=k, vec=vec, key=key)
+    return cosine_topk(cand, query, k=k, vec=vec, key=key, keep=("_list",))
 
 
 def embedding_near_dup_lsh(

@@ -93,3 +93,43 @@ def test_embedding_near_dup_lsh_finds_clones(spark):
     # no cartesian product in the plan
     plan = embedding_near_dup_lsh(df, dim=16)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
+
+
+def test_ivf_literal_codebook(spark):
+    """Deterministic codebook: unit-norm centroids, engine-portable argmax
+    assignment (ties -> lower list id), probes ranked by rounded dot."""
+    import math
+
+    from table_ocr_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_probes,
+        ivf_topk,
+    )
+
+    cents = deterministic_centroids(dim=64, n_lists=8)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    for c in cents:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-5
+    # derivation is stable (md5-based, no RNG state)
+    assert cents == deterministic_centroids(dim=64, n_lists=8)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = ivf_assign(emb, cents)
+    lists = [r._list for r in assigned.select("_list").distinct().collect()]
+    assert all(0 <= x < 8 for x in lists)
+
+    # zero vector: all dots round to 0.0 -> tie -> lowest list id
+    zero = spark.createDataFrame([(99, [0.0] * 64)], "vec_id: long, embedding: array<float>")
+    assert ivf_assign(zero, cents).first()._list == 0
+
+    query = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    probes = ivf_probes(cents, query, n_probe=3)
+    assert len(probes) == 3 == len(set(probes))
+    top = ivf_topk(assigned, cents, query, k=5, n_probe=8)
+    rows = top.collect()
+    # probing all lists == brute force: the query's own vector leads
+    assert rows[0].vec_id == 3
+    # the kept _list column matches each row's assignment
+    amap = {r.vec_id: r._list for r in assigned.select("vec_id", "_list").collect()}
+    assert all(r._list == amap[r.vec_id] for r in rows)
