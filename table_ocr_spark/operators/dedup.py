@@ -168,15 +168,24 @@ def minhash_lsh_pairs(
     still pairs through its other bands unless those are oversized too);
     ``lsh_oversized_buckets`` returns the dropped buckets for a quarantine
     sink so the drop is observable, not silent.
+
+    The cap is a map-side-combined ``groupBy(band, bucket).count()`` whose
+    oversized survivors broadcast back as a left_anti join — NOT a
+    count-window over (band, bucket): the window would co-locate each
+    bucket in one task, making the pathological bucket the cap exists for
+    into a shuffle straggler (its rows all move before being dropped).
+    Oversized buckets are few by construction (each holds > cap rows, so
+    at most total/cap exist) — safely broadcastable.
     """
     banded = _lsh_banded(df, text, key, k, bands, shingle_n)
     if max_bucket_size is not None:
-        wsz = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(wsz))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band", "bucket")
         )
+        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -266,7 +275,7 @@ def simhash_near_dup_pairs(
         ).alias("bb"),
     ).select("k", "sh", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    ham = hamming16_col(F.col("a.sh"), F.col("b.sh"))
+    ham = hamming_col(F.col("a.sh"), F.col("b.sh"), bits)
     return (
         a.join(
             b,
@@ -284,16 +293,20 @@ def simhash_near_dup_pairs(
     )
 
 
-def hamming16_col(a: Column, b: Column) -> Column:
-    """Hamming distance between two 16-bit simhashes: popcount of XOR.
-    (shiftright takes a Python int literal, hence the unrolled sum — 16
-    flat terms, linear tree.)"""
+def hamming_col(a: Column, b: Column, bits: int) -> Column:
+    """Hamming distance between two ``bits``-wide simhashes: popcount of
+    XOR.  (shiftright takes a Python int literal, hence the unrolled sum —
+    ``bits`` flat terms, linear tree.)"""
     x = a.bitwiseXOR(b)
-    terms = [F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")) for i in range(16)]
+    terms = [F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")) for i in range(bits)]
     out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out.cast("int")
+
+
+def hamming16_col(a: Column, b: Column) -> Column:
+    return hamming_col(a, b, 16)
 
 
 def verify_pairs_jaccard(
@@ -329,6 +342,8 @@ def near_dup_components(
     key_a: str = "key_a",
     key_b: str = "key_b",
     max_iterations: int = 20,
+    checkpoint_interval: int = 1,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Connected components over candidate near-dup pairs → (member,
     component) where component = min key in the member's component.
@@ -344,21 +359,48 @@ def near_dup_components(
     needs hundreds of rounds without it).  Each round is two joins + one
     map-side-combined groupBy over the NARROW (node, label) frame; the
     driver loop stops when a round changes nothing (a bounded limit(1)
-    count, never a label collect); lineage is cut per round.  This is the
-    standard large-graph CC loop at 10^12-row scale.
+    count, never a label collect).  This is the standard large-graph CC
+    loop at 10^12-row scale.
+
+    Fault tolerance: when the session has a RELIABLE checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` — HDFS/object store on a real
+    cluster; build_session sets a local one), each cut round writes the
+    labels to that store, so losing an executor loses nothing.  Without
+    one it falls back to ``localCheckpoint`` (executor block managers —
+    fine in local mode, NOT at cluster scale: a lost executor makes the
+    lineage-truncated plan unrecomputable).  ``checkpoint_interval`` > 1
+    cuts lineage every K rounds and only ``persist``\\ s in between
+    (GraphX-style); the previous round's frame is unpersisted once the new
+    one is materialized, so the loop holds ≤2 copies of the narrow frame.
+
+    Convergence: with pointer jumping the default 20 rounds covers a
+    component diameter of ~2^20; if ``max_iterations`` is still exhausted
+    the function RAISES (``require_convergence=False`` opts into
+    best-effort labels) — silently returning under-converged components
+    would merge/split dedup families wrongly downstream.
     """
+    spark = pairs.sparkSession
+    try:
+        reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # pragma: no cover - py4j surface change
+        reliable = False
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
         .unionByName(pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
         .distinct()
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    converged = False
+    prev_persisted: DataFrame | None = None
+    for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -378,21 +420,35 @@ def near_dup_components(
         parent = step1.select(
             F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
         )
-        new_labels = (
-            step1.join(parent, step1.label == parent._pnode, "left")
-            .select(
-                "node",
-                "_old",
-                F.least(F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)  # cut the lineage per round
+        new_labels = step1.join(parent, step1.label == parent._pnode, "left").select(
+            "node",
+            "_old",
+            F.least(F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))).alias(
+                "label"
+            ),
         )
+        if (i + 1) % checkpoint_interval == 0:
+            new_labels = _cut(new_labels)  # lineage cut (reliable when dir set)
+            cached_this_round = None
+        else:
+            new_labels = new_labels.persist()
+            cached_this_round = new_labels
         changed = new_labels.filter(F.col("label") < F.col("_old")).limit(1).count()
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = cached_this_round
         labels = new_labels.drop("_old")
         if changed == 0:
+            converged = True
             break
+    if prev_persisted is not None:
+        prev_persisted.unpersist()
+    if not converged and require_convergence:
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iterations} rounds "
+            "(component diameter > ~2^max_iterations); raise max_iterations or "
+            "pass require_convergence=False for best-effort labels"
+        )
     return labels.select(F.col("node").alias("member"), F.col("label").alias("component"))
 
 

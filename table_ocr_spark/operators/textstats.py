@@ -183,7 +183,7 @@ def redact_pii_col(text: str | Column = "text") -> Column:
     return F.regexp_replace(out, LONG_NUM_RE, "<NUM>")
 
 
-def vocabulary_topk(df: DataFrame, text: str = "text", k: int = 100) -> Column | DataFrame:
+def vocabulary_topk(df: DataFrame, text: str = "text", k: int = 100) -> DataFrame:
     """Corpus vocabulary: token → frequency, deterministic top-k
     (freq DESC, token ASC).  The wordcount shape at scale: explode is a
     generator (no shuffle), the groupBy partial-aggregates map-side so

@@ -40,11 +40,26 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # drop reliable-checkpoint files once their RDDs are GC'd
+        # (iterative ops — near_dup_components — checkpoint per round)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable checkpoint store for iterative algorithms: on a cluster this
+    # is an HDFS/object-store path (spark-submit sets it); locally /tmp.
+    # Without one, loops fall back to localCheckpoint — executor-block-
+    # manager storage that cannot survive executor loss at cluster scale.
+    try:
+        has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # pragma: no cover - py4j surface change
+        has_dir = True
+    if not has_dir:
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/spark_graft_ckpt")
+        )
     return spark
 
 

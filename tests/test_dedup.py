@@ -210,3 +210,42 @@ def test_near_dup_components_long_chain_converges(spark):
     )
     comps = near_dup_components(chain, max_iterations=20).collect()
     assert all(r.component == 0 for r in comps) and len(comps) == 101
+
+
+def test_near_dup_components_nonconvergence_raises(spark):
+    """Exhausting max_iterations must raise loudly, not silently return
+    under-converged labels (which would merge/split dedup families wrong);
+    require_convergence=False opts into best-effort labels."""
+    import pytest as _pytest
+
+    from table_ocr_spark.operators.dedup import near_dup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "key_a long, key_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(chain, max_iterations=2)
+    # best-effort mode returns labels (partially propagated, no raise)
+    partial = near_dup_components(chain, max_iterations=2, require_convergence=False)
+    assert partial.count() == 201
+
+
+def test_near_dup_components_reliable_checkpoint_and_interval(spark):
+    """build_session sets a reliable checkpoint dir, so the CC loop writes
+    round checkpoints there (executor-loss-safe at cluster scale) instead
+    of localCheckpoint; checkpoint_interval>1 (persist in between,
+    unpersist previous) converges to the same labels."""
+    import os
+
+    from table_ocr_spark.operators.dedup import near_dup_components
+
+    ckpt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert ckpt.isDefined(), "build_session must set a reliable checkpoint dir"
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "key_a long, key_b long"
+    )
+    comps = near_dup_components(chain, max_iterations=20, checkpoint_interval=3)
+    assert all(r.component == 0 for r in comps.collect())
+    # checkpoint files actually landed in the reliable store
+    d = ckpt.get().replace("file:", "")
+    assert os.path.isdir(d) and any(os.scandir(d))
