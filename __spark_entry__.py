@@ -544,6 +544,35 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal contract: REAL stdlib PNG pixel decode (zlib inflate +
+    unfilter) through the mapInPandas feature operator, over literal PNG
+    blobs (gray / RGB / RGBA).  The DuckDB oracle addresses the same pixel
+    bytes with hex arithmetic — the fixtures are written as zlib STORED
+    blocks + filter 0, so every pixel byte has a fixed offset (asserted in
+    png_contract_fixtures) — and checks header fields AND per-channel
+    mean-color features exactly."""
+    from table_ocr_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        png_contract_fixtures,
+    )
+
+    rows = [(mid, kind, p, "image/png") for mid, kind, p, _w, _h, _c in png_contract_fixtures()]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(df, feature_dim=4)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        *[
+            F.round(F.element_at("feature", c + 1).cast("double"), 4).alias(f"mean_c{c}")
+            for c in range(4)
+        ],
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a LITERAL deterministic codebook: nearest-centroid
     assignment (rounded-dot argmax, ties to lower list), n_probe nearest
@@ -975,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ivf_topk": q_ivf_topk,
+        "media_png_stats": q_media_png_stats,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cells_flat": q_cells_flat,
@@ -1119,6 +1149,44 @@ def _sql_ivf_topk(n_lists: int = 8, dim: int = 64, n_probe: int = 3, k: int = 20
         "FROM assigned e, q "
         "WHERE e.ivf_list IN (SELECT list_id FROM probes) "
         f"ORDER BY {cos_eq} DESC, e.vec_id LIMIT {k}"
+    )
+
+
+def _sql_media_png_stats() -> str:
+    """PNG oracle: the SAME literal blobs as hex, header fields read with
+    big-endian byte arithmetic (width/height at offsets 16/20), channel
+    means averaged over raw pixel bytes at their fixed stored-block
+    offsets (48 + r*(1+stride) + 1 + x) — an independent read of the
+    image the Spark side decodes via real inflate+unfilter."""
+    from table_ocr_spark.multimodal.media import png_contract_fixtures
+
+    # byte(b, i): 0-based byte of blob b as integer, via hex pairs
+    def byte(expr: str, off: str) -> str:
+        return f"cast(concat('0x', substr(hex({expr}), 2*({off})+1, 2)) AS INTEGER)"
+
+    rows = []
+    for mid, _kind, p, w, h, ch in png_contract_fixtures():
+        rows.append(f"({mid}, from_hex('{p.hex()}'), {w}, {h}, {ch})")
+    be32_16 = " + ".join(
+        f"{byte('b', str(16 + i))} * {256 ** (3 - i)}" for i in range(4)
+    )
+    be32_20 = " + ".join(
+        f"{byte('b', str(20 + i))} * {256 ** (3 - i)}" for i in range(4)
+    )
+    mean_cols = []
+    for c in range(4):
+        px_byte = byte("b", f"48 + r*(1 + w*ch) + 1 + x*ch + {c}")
+        mean_cols.append(
+            f"CASE WHEN ch > {c} THEN round(("
+            f"SELECT avg({px_byte}) FROM (SELECT unnest(range(h)) AS r) _r, "
+            f"(SELECT unnest(range(w)) AS x) _x) / 255.0, 4) "
+            f"ELSE 0.0 END AS mean_c{c}"
+        )
+    return (
+        "SELECT media_id::BIGINT AS media_id, "
+        f"({be32_16})::INT AS width, ({be32_20})::INT AS height, 1 AS n_frames, "
+        + ", ".join(mean_cols)
+        + f" FROM (VALUES {', '.join(rows)}) pngs(media_id, b, w, h, ch)"
     )
 
 
@@ -1356,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY {cos} DESC, e.vec_id LIMIT 20"
         ),
         "ivf_topk": _sql_ivf_topk(n_lists=8, dim=64, n_probe=3, k=20),
+        "media_png_stats": _sql_media_png_stats(),
         "embedding_near_dup": (
             f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
             f"FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "

@@ -4,11 +4,13 @@ columns with typed metadata, processed by Arrow-batch ``mapInPandas`` UDFs.
 Container-header DECODE is real and stdlib-only (``parse_media_header``):
 PNG IHDR, JPEG SOFn frame headers, and WAV RIFF/fmt chunks are parsed with
 ``struct`` — genuine files yield genuine width/height/frame counts (tested
-against a real committed PNG/WAV fixture).  Pixel/sample decode and
-feature extraction need codec libraries that are NOT in this container, so
-the FEATURE step is a clearly-marked deterministic stub; swapping in a
-real embedder means replacing one pure function — schema, batch iteration,
-partitioning, and output shape don't change.
+against a real committed PNG/WAV fixture).  PNG PIXEL decode is real too
+(``decode_png_pixels``: zlib inflate + all five PNG filters), so the PNG
+feature vector is a genuine per-channel mean-color feature.  Audio/video
+sample decode needs codec libraries that are NOT in this container, so
+those FEATURE vectors remain a clearly-marked deterministic stub; swapping
+in a real embedder means replacing one pure function — schema, batch
+iteration, partitioning, and output shape don't change.
 
 This mirrors how the reference treats OCR: recognition is a pluggable leaf
 (``TesseractOCR.__call__``, detectors.py:767-890) under a fixed pipeline;
@@ -116,6 +118,156 @@ def parse_media_header(payload: bytes) -> dict | None:
     return None
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """REAL stdlib-only PNG pixel decode: chunk walk → concat IDAT →
+    ``zlib.decompress`` → per-scanline unfilter (all five filter types:
+    None/Sub/Up/Average/Paeth, PNG spec §9).
+
+    Supports bit depth 8, color types 0/2/4/6 (grayscale, RGB,
+    gray+alpha, RGBA), non-interlaced — raises NotImplementedError outside
+    that envelope (palette/16-bit/Adam7).  Returns width, height,
+    channels, the raw pixel bytes (row-major, channel-interleaved) and
+    per-channel means — the honest replacement for the former stub
+    feature vector.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    w, h = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG envelope unsupported (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}); 8-bit gray/RGB/GA/RGBA non-interlaced only"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    # chunk walk — IDAT may be split across chunks; concatenate before inflate
+    i, idat = 8, b""
+    while i + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat += payload[i + 8 : i + 8 + clen]
+        if ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError(f"PNG payload size mismatch: {len(raw)} vs {h * (1 + stride)}")
+    out = bytearray(h * stride)
+    prev_row_start = -1
+    for row in range(h):
+        fbyte = raw[row * (1 + stride)]
+        line = raw[row * (1 + stride) + 1 : (row + 1) * (1 + stride)]
+        base = row * stride
+        for x in range(stride):
+            v = line[x]
+            a = out[base + x - ch] if x >= ch else 0  # left
+            b = out[prev_row_start + x] if row > 0 else 0  # up
+            if fbyte == 0:
+                r = v
+            elif fbyte == 1:
+                r = v + a
+            elif fbyte == 2:
+                r = v + b
+            elif fbyte == 3:
+                r = v + (a + b) // 2
+            elif fbyte == 4:
+                c = out[prev_row_start + x - ch] if (row > 0 and x >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                r = v + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad PNG filter byte {fbyte}")
+            out[base + x] = r & 0xFF
+        prev_row_start = base
+    pixels = bytes(out)
+    means = [
+        sum(pixels[c::ch]) / (w * h) if w * h else 0.0 for c in range(ch)
+    ]
+    return {
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "pixels": pixels,
+        "channel_means": means,
+    }
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    compress_level: int = 0,
+) -> bytes:
+    """Minimal stdlib PNG writer: filter 0 on every scanline, one IDAT.
+
+    ``compress_level=0`` emits zlib STORED deflate blocks, which keeps the
+    raw scanline bytes at a computable offset inside IDAT — that is what
+    lets the DuckDB oracle address individual pixel bytes with plain hex
+    arithmetic (no inflate in SQL) while Spark runs the real inflate path.
+    """
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixels length != height*width*channels")
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(raw, compress_level)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_contract_fixtures() -> list:
+    """Deterministic literal PNGs for the exact-oracle contract query:
+    (media_id, kind, payload, width, height, channels).
+
+    Written with ``compress_level=0`` (zlib STORED deflate) and filter 0,
+    and the geometry is ASSERTED here: pixel byte (row r, offset x) lives
+    at absolute byte 48 + r*(1+stride) + 1 + x — 8 (sig) + 25 (IHDR chunk)
+    + 8 (IDAT len+type) + 2 (zlib hdr) + 5 (stored-block hdr).  That fixed
+    layout is what lets the DuckDB oracle average pixel bytes with hex
+    arithmetic while Spark runs the real inflate+unfilter decode.
+    """
+    out = []
+    for media_id, w, h, ch in ((1, 4, 4, 1), (2, 4, 4, 3), (3, 2, 8, 4)):
+        px = bytes((media_id * 37 + i * 11) % 256 for i in range(w * h * ch))
+        p = encode_png(w, h, px, channels=ch, compress_level=0)
+        stride = w * ch
+        raw_len = h * (1 + stride)
+        assert p[41:43] == b"\x78\x01", "zlib header not at byte 41"
+        assert p[43] == 0x01, "expected a single final STORED deflate block"
+        assert struct.unpack("<H", p[44:46])[0] == raw_len, "stored LEN mismatch"
+        assert p[48 : 48 + raw_len] == b"".join(
+            b"\x00" + px[r * stride : (r + 1) * stride] for r in range(h)
+        ), "raw scanlines not at byte 48"
+        out.append((media_id, "image", p, w, h, ch))
+    return out
+
+
 def decode_media(payload: bytes) -> dict:
     """Header metadata for one payload: real containers first, then the
     synthesized fake; raises on foreign bytes the way a real decoder
@@ -150,18 +302,31 @@ def extract_media_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
         for pdf in it:
             rows = {"media_id": [], "kind": [], "width": [], "height": [], "n_frames": [], "feature": []}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                meta = decode_media(bytes(payload))
+                raw = bytes(payload)
+                meta = decode_media(raw)
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
                 rows["width"].append(meta["width"])
                 rows["height"].append(meta["height"])
                 rows["n_frames"].append(meta["n_frames"])
-                # STUB feature: deterministic, seeded by media_id (a real
-                # embedder would decode pixels/samples here — codec libs
-                # are not in this container)
-                rows["feature"].append(
-                    [float((int(mid) * (i + 1)) % 101) / 101.0 for i in range(feature_dim)]
-                )
+                if meta.get("container") == "png":
+                    # REAL feature for PNGs: per-channel pixel means in
+                    # [0, 1] (stdlib inflate + unfilter), zero-padded to
+                    # feature_dim
+                    means = decode_png_pixels(raw)["channel_means"]
+                    feat = [m / 255.0 for m in means[:feature_dim]]
+                    feat += [0.0] * (feature_dim - len(feat))
+                    rows["feature"].append(feat)
+                else:
+                    # STUB feature for non-PNG containers: deterministic,
+                    # seeded by media_id (a real embedder would decode
+                    # samples here — codec libs are not in this container)
+                    rows["feature"].append(
+                        [
+                            float((int(mid) * (i + 1)) % 101) / 101.0
+                            for i in range(feature_dim)
+                        ]
+                    )
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)

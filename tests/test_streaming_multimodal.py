@@ -159,3 +159,71 @@ def test_real_png_through_spark_feature_path(spark):
     assert got[11].n_frames == 200
     assert got[12].width == 640
     assert all(len(got[k].feature) == 3 for k in got)
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_pixels inverts every PNG filter type (Sub/Up/Average/
+    Paeth, spec section 9): the test applies the FORWARD filters to known
+    pixels, wraps them in a valid PNG, and expects the original back."""
+    import struct
+    import zlib
+
+    from table_ocr_spark.multimodal.media import decode_png_pixels
+
+    w, h, ch = 5, 5, 3
+    stride = w * ch
+    px = bytes((i * 7 + 13) % 256 for i in range(w * h * ch))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    raw = bytearray()
+    for r in range(5):  # one scanline per filter type 0..4
+        line = px[r * stride : (r + 1) * stride]
+        prev = px[(r - 1) * stride : r * stride] if r else bytes(stride)
+        raw.append(r)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if r == 0:
+                raw.append(line[x])
+            elif r == 1:
+                raw.append((line[x] - a) & 0xFF)
+            elif r == 2:
+                raw.append((line[x] - b) & 0xFF)
+            elif r == 3:
+                raw.append((line[x] - (a + b) // 2) & 0xFF)
+            else:
+                raw.append((line[x] - paeth(a, b, c)) & 0xFF)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png_pixels(png)
+    assert d["pixels"] == px and d["channels"] == 3
+
+
+def test_png_feature_is_real_mean_color(spark):
+    """PNG rows get a REAL mean-color feature (not the id-seeded stub):
+    a solid-color image's feature equals that color / 255."""
+    from table_ocr_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_media_features,
+    )
+
+    solid = encode_png(3, 2, bytes([200, 100, 50] * 6), channels=3, compress_level=6)
+    df = spark.createDataFrame([(7, "image", solid, "image/png")], MEDIA_SCHEMA)
+    feat = extract_media_features(df, feature_dim=4).first().feature
+    assert [round(x, 5) for x in feat] == [
+        round(200 / 255, 5), round(100 / 255, 5), round(50 / 255, 5), 0.0,
+    ]
