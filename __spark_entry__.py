@@ -129,6 +129,45 @@ def q_extract_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("doc_id", "clean_text")
 
 
+def q_stream_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-vs-batch equivalence, driver-visible: the html-payload
+    transcripts are drained by a Trigger.AvailableNow Structured Streaming
+    query (same extraction kernel, file source + streaming checkpoint)
+    into a parquet sink, and the returned frame is the SINK read back.
+    Oracle = the batch extract_html_clean oracle, so streaming output is
+    held to exact batch equality — not just its own tests."""
+    import shutil
+    import tempfile
+
+    from table_ocr_spark.streaming.stream_extract import start_extract_stream
+
+    t = _as_transcripts(_html_wrapped(_docs(spark, sf_dir)))
+    src = t.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_contract_")
+    try:
+        src.write.mode("overwrite").parquet(f"{base}/in")
+        q = start_extract_stream(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ckpt", available_now=True
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(f"{base}/out")
+        return (
+            out.select(F.col("conv_id").cast("long").alias("doc_id"), "clean_text")
+            # the sink dir is deleted before returning (the driver collects
+            # AFTER this function), so materialize off the temp files here
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_extract_html_mode_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _extracted(spark, sf_dir, _html_wrapped)
     return ex.select(
@@ -193,6 +232,41 @@ def q_extract_md_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s3["conf"], 6).alias("conf_10"),
         F.round(s4["conf"], 6).alias("conf_11"),
     )
+
+
+def q_extract_md_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roi_trim config variant (reference roi_offset, detectors.py:918-919):
+    each cell region is shrunk by 2 chars per side before recognition,
+    UNLESS shrinking would invert the interval — the degenerate-cell
+    relaxation (detectors.py:1009-1015) then falls back to the full
+    region.  Long tokens lose their first/last char (seg padding is 1
+    space, trim is 2); 2-char-or-shorter tokens and the 'c0' header take
+    the relaxation branch — both paths land in one green query."""
+    import dataclasses
+
+    from table_ocr_spark.config import DEFAULT_CONFIG
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, roi_trim=2)
+    ex = _extracted(spark, sf_dir, _md_payload, cfg)
+    s = F.element_at("spans", 3)  # row 1, col 0
+    return ex.select(
+        "doc_id",
+        F.element_at(F.element_at("cells", 1), 1).alias("cell_00"),
+        F.element_at(F.element_at("cells", 2), 1).alias("cell_10"),
+        s["start"].cast("long").alias("span_start"),
+        s["end"].cast("long").alias("span_end"),
+    )
+
+
+def q_spans_hocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hOCR export view (reference's committed per-sample artifact,
+    sample/proc/02.hocr: ocrx_word spans with bbox + x_wconf) over the
+    markdown-table extraction — the oracle reconstructs the full page
+    fragment, word offsets and confidences included, in SQL."""
+    from table_ocr_spark.operators.export import spans_hocr
+
+    ex = _extracted(spark, sf_dir, _md_payload)  # conv_id == doc_id::string
+    return spans_hocr(ex).select(F.col("conv_id").cast("long").alias("doc_id"), "hocr")
 
 
 def q_extract_layout_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,8 +1046,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_clean": q_extract_html_clean,
+        "stream_extract_clean": q_stream_extract_clean,
         "extract_html_mode_ratio": q_extract_html_mode_ratio,
         "extract_md_cells": q_extract_md_cells,
+        "extract_md_trimmed": q_extract_md_trimmed,
+        "spans_hocr": q_spans_hocr,
         "extract_md_spans": q_extract_md_spans,
         "extract_otsu": q_extract_otsu,
         "extract_adaptive": q_extract_adaptive,
@@ -1245,7 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         f"FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
     )
 
-    return {
+    sql = {
         "extract_html_clean": (
             f"SELECT doc_id, {_SQL_NORM_TEXT} AS clean_text FROM documents"
         ),
@@ -1263,6 +1340,41 @@ def oracle_sql() -> dict[str, str]:
             # line 3 starts at offset 12+14=26; first cell starts at 26+2
             f"SELECT doc_id, 1::BIGINT AS span_row, 0::BIGINT AS span_col, "
             f"28::BIGINT AS span_start, (28 + length({w(1)}))::BIGINT AS span_end FROM documents"
+        ),
+        "spans_hocr": (
+            # page = 3x2 md grid; word offsets are the md-span arithmetic
+            # (line 3 starts at 26, line 4 at 34+L1+L2); x_wconf = rounded
+            # plain-char percentage (recognize.confidence)
+            "SELECT doc_id, "
+            "'<div class=''ocr_page'' id=''page_' || doc_id || '_0'' title=''bbox 0 0 2 3''>' || chr(10) || "
+            "'  <span class=''ocrx_word'' id=''word_1'' title=''bbox 0 0 2 4; x_wconf 100''>c0</span>' || chr(10) || "
+            "'  <span class=''ocrx_word'' id=''word_2'' title=''bbox 1 0 7 9; x_wconf 100''>c1</span>' || chr(10) || "
+            + " || chr(10) || ".join(
+                f"'  <span class=''ocrx_word'' id=''word_{3 + j}'' title=''bbox {j % 2} {1 + j // 2} ' || "
+                f"({start}) || ' ' || ({start} + length({w(1 + j)})) || "
+                f"'; x_wconf ' || round(100.0 * length(regexp_replace({w(1 + j)}, '[^A-Za-z0-9 ]', '', 'g')) / length({w(1 + j)}))::INT || "
+                f"'''>' || {w(1 + j)} || '</span>'"
+                for j, start in enumerate(
+                    [
+                        "28",
+                        f"31 + length({w(1)})",
+                        f"36 + length({w(1)}) + length({w(2)})",
+                        f"39 + length({w(1)}) + length({w(2)}) + length({w(3)})",
+                    ]
+                )
+            )
+            + " || chr(10) || '</div>' AS hocr FROM documents"
+        ),
+        "extract_md_trimmed": (
+            # roi_trim=2 over seg ' w ': len(w)>2 → w[1:-1], start +1, end -1
+            # (trim eats 1 char of the token each side); else degenerate
+            # relaxation keeps the full cell (trim0 offsets 28..28+len)
+            f"SELECT doc_id, 'c0' AS cell_00, "
+            f"CASE WHEN length({w(1)}) > 2 THEN substr({w(1)}, 2, length({w(1)}) - 2) "
+            f"ELSE {w(1)} END AS cell_10, "
+            f"(CASE WHEN length({w(1)}) > 2 THEN 29 ELSE 28 END)::BIGINT AS span_start, "
+            f"(CASE WHEN length({w(1)}) > 2 THEN 27 + length({w(1)}) "
+            f"ELSE 28 + length({w(1)}) END)::BIGINT AS span_end FROM documents"
         ),
         "extract_otsu": (
             f"SELECT doc_id, {w(1)} || chr(10) || {w(2)} || chr(10) || {w(3)} || chr(10) || {w(4)} "
@@ -1557,3 +1669,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY revenue DESC, o_orderkey LIMIT 20"
         ),
     }
+    # Structured Streaming equivalence: the stream runs the SAME extraction
+    # kernel under Trigger.AvailableNow, so its sink must equal the batch
+    # result — the oracle IS the batch oracle.
+    sql["stream_extract_clean"] = sql["extract_html_clean"]
+    return sql
