@@ -69,6 +69,52 @@ def _noop_write(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _salted_shuffle_bytes(evlog_dir: str, reps: int) -> dict:
+    """Parse the Spark event log (written because spark.eventLog.enabled):
+    sum the shuffle write/read byte metrics of every stage belonging to a
+    job tagged with the 'salted_leg' job group, divided by the number of
+    timed reps → MEASURED per-run shuffle volume of the selective-salting
+    leg.  The skew sketch (count + heavy-hitter collect) runs before the
+    group is set, so its two narrow jobs are excluded — as is its cost
+    from the timed region (it is job-level planning, paid once per commit
+    group in the pipeline; see BENCH/BASELINE.md note)."""
+    import glob
+
+    salted_stages: set = set()
+    write_b = read_b = 0
+    # event log v2 writes a DIRECTORY per app (rolling files inside)
+    for path in sorted(glob.glob(os.path.join(evlog_dir, "**", "*"), recursive=True)):
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                t = ev.get("Event")
+                if t == "SparkListenerJobStart":
+                    grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                    if grp == "salted_leg":
+                        salted_stages.update(ev.get("Stage IDs", []))
+                elif t == "SparkListenerStageCompleted":
+                    si = ev.get("Stage Info", {})
+                    if si.get("Stage ID") in salted_stages:
+                        for acc in si.get("Accumulables", []):
+                            name = acc.get("Name", "")
+                            if name == "internal.metrics.shuffle.write.bytesWritten":
+                                write_b += int(acc.get("Value", 0))
+                            elif name in (
+                                "internal.metrics.shuffle.read.localBytesRead",
+                                "internal.metrics.shuffle.read.remoteBytesRead",
+                            ):
+                                read_b += int(acc.get("Value", 0))
+    return {
+        "salted_shuffle_write_bytes_per_run": write_b // max(1, reps),
+        "salted_shuffle_read_bytes_per_run": read_b // max(1, reps),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Default parallelism: HALF the vCPUs (in local mode every task slot
@@ -92,7 +138,24 @@ def main() -> int:
     from table_ocr_spark.session import build_session
     from table_ocr_spark.sources.catalog import load_transcripts
 
-    spark = build_session(app_name="bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    # Event log on: the only portable way to read per-stage shuffle BYTES
+    # (the UI/status API is off in this headless session).  Parsed after
+    # spark.stop() to report the salted leg's measured shuffle volume —
+    # the residual cost of the selective-salting design — in bytes, not
+    # estimates.
+    import tempfile
+
+    evlog_dir = tempfile.mkdtemp(prefix="bench_evlog_")
+    spark = build_session(
+        app_name="bench",
+        cores=cpus,
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evlog_dir,
+            "spark.eventLog.compress": "false",  # parse as plain JSON lines
+        },
+    )
 
     timings: dict[str, float] = {}
 
@@ -138,12 +201,17 @@ def main() -> int:
     salted_src = salted_repartition(
         src, num_partitions=32, worker_budget=python_worker_budget(spark)
     )
+    # job group tags let the event-log parse attribute stages (and their
+    # shuffle byte metrics) to this leg specifically
+    spark.sparkContext.setJobGroup("salted_leg", "selective-salted extraction")
     salted_sec = _best_of(headline_reps, lambda: with_extraction(salted_src))
+    spark.sparkContext.setJobGroup("", "")
     timings["extract_salted"] = round(salted_sec, 3)
 
     # ---- contract queries on driver tables ------------------------------
     if os.environ.get("BENCH_EXTRACT_ONLY"):
         spark.stop()
+        shuffle_stats = _salted_shuffle_bytes(evlog_dir, headline_reps)
         print(
             json.dumps(
                 {
@@ -156,6 +224,7 @@ def main() -> int:
                     "turns_per_sec": round(n_turns / extract_sec, 1),
                     "turns_per_sec_salted": round(n_turns / salted_sec, 1),
                     "cpus": cpus,
+                    **shuffle_stats,
                 }
             )
         )
@@ -195,6 +264,7 @@ def main() -> int:
         timings[qname] = round(best, 3)
 
     spark.stop()
+    shuffle_stats = _salted_shuffle_bytes(evlog_dir, headline_reps)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -209,6 +279,7 @@ def main() -> int:
                 "turns_per_sec": round(n_turns / extract_sec, 1),
                 "turns_per_sec_salted": round(n_turns / salted_sec, 1),
                 "cpus": cpus,
+                **shuffle_stats,
             }
         )
     )

@@ -227,3 +227,43 @@ def test_png_feature_is_real_mean_color(spark):
     assert [round(x, 5) for x in feat] == [
         round(200 / 255, 5), round(100 / 255, 5), round(50 / 255, 5), 0.0,
     ]
+
+
+def test_png_decode_edges_no_spark():
+    """Multi-IDAT concatenation; unsupported envelopes raise (palette,
+    16-bit, interlaced) rather than silently mis-decoding."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from table_ocr_spark.multimodal.media import decode_png_pixels, encode_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    w, h, ch = 3, 2, 3
+    px = bytes(range(w * h * ch))
+    whole = encode_png(w, h, px, channels=ch, compress_level=6)
+    # split the single IDAT payload into two consecutive IDAT chunks
+    (ilen,) = struct.unpack(">I", whole[33:37])
+    idat = whole[41 : 41 + ilen]
+    rebuilt = (
+        whole[:33]
+        + chunk(b"IDAT", idat[:5])
+        + chunk(b"IDAT", idat[5:])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(rebuilt)["pixels"] == px
+
+    def ihdr(depth, color, interlace=0):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+
+    for depth, color, inter in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        with _pytest.raises(NotImplementedError):
+            decode_png_pixels(ihdr(depth, color, inter))
