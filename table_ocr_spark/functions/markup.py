@@ -158,15 +158,18 @@ def _split_pipe_row(line: str, min_sep: int = 1) -> List[Tuple[str, int]]:
     segs: List[Tuple[str, int]] = []
     start = 0
     prev_sep = None
-    for i, ch in enumerate(line):
-        if ch == "|":
-            if prev_sep is not None and i - prev_sep <= min_sep:
-                prev_sep = i  # overlapping ruling: slide, don't split
-                start = i + 1
-                continue
+    # jump pipe-to-pipe with str.find instead of walking every character —
+    # identical separator semantics, ~5x less Python-loop work on prose rows
+    i = line.find("|")
+    while i != -1:
+        if prev_sep is not None and i - prev_sep <= min_sep:
+            prev_sep = i  # overlapping ruling: slide, don't split
+            start = i + 1
+        else:
             segs.append((line[start:i], start))
             start = i + 1
             prev_sep = i
+        i = line.find("|", i + 1)
     segs.append((line[start:], start))
     # drop empty edge segments created by border pipes
     if segs and segs[0][0].strip() == "":

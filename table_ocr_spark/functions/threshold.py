@@ -55,7 +55,10 @@ def line_density(line: str) -> float:
     and decorative padding score low — the 'background' class)."""
     if not line:
         return 0.0
-    alnum = sum(1 for c in line if c.isalnum() or c == " ")
+    # == sum(1 for c if c.isalnum() or c == " "): isalnum(' ') is False, so
+    # the space count can be added separately (map(str.isalnum, ...) avoids
+    # the per-char genexpr frame — this runs per character of every line)
+    alnum = sum(map(str.isalnum, line)) + line.count(" ")
     return alnum / len(line)
 
 
