@@ -695,18 +695,13 @@ def q_cells_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversation-scoped boilerplate removal (applyInPandas whole-conv
-    stage): 5-turn convs built from each doc's words, with a constant
-    banner line injected into every turn — the banner must vanish.
-
-    Oracle: each turn's stripped text == its own word (the banner is
-    repeated in 5/5 turns → banned); expressible in SQL."""
-    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
-
+def _banner_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-turn convs built from each doc's words, with a constant banner
+    line injected into every turn — shared input for the batch, linehash,
+    and stateful-streaming boilerplate-strip contract queries."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    turns = d.select(
+    return d.select(
         F.col("doc_id"),
         F.col("doc_id").cast("string").alias("conv_id"),
         F.explode(F.sequence(F.lit(0), F.lit(4))).alias("turn_idx"),
@@ -722,12 +717,62 @@ def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("turn_idx").cast("string"),
         ).alias("text"),
     )
+
+
+def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-scoped boilerplate removal (applyInPandas whole-conv
+    stage): the banner repeated in 5/5 turns must vanish.
+
+    Oracle: each turn's stripped text == its own word (the banner is
+    repeated in 5/5 turns → banned); expressible in SQL."""
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+
+    turns = _banner_conv_turns(spark, sf_dir)
     out = strip_conv_boilerplate(turns, ratio=0.6, min_turns=3)
     return out.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("turn_idx").cast("long").alias("turn_idx"),
         "text_stripped",
     )
+
+
+def q_conv_boilerplate_strip_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming variant (applyInPandasWithState): the same
+    banner convs drained through the per-conversation running-state strip
+    in one AvailableNow pass — single-batch prefix == whole conversation,
+    so the output is held to the SAME SQL oracle as the batch operator."""
+    import shutil
+    import tempfile
+
+    from table_ocr_spark.streaming.stateful import stream_conv_boilerplate
+
+    turns = _banner_conv_turns(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    base = tempfile.mkdtemp(prefix="stateful_contract_")
+    try:
+        turns.write.mode("overwrite").parquet(f"{base}/in")
+        stream = (
+            spark.readStream.schema("conv_id string, turn_idx int, text string")
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(f"{base}/in")
+        )
+        out = stream_conv_boilerplate(stream, ratio=0.6, min_turns=3)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(f"{base}/out")
+        return res.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "text_stripped",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_flat": q_cells_flat,
         "conv_metrics": q_conv_metrics,
         "conv_boilerplate_strip": q_conv_boilerplate_strip,
+        "conv_boilerplate_strip_stateful": q_conv_boilerplate_strip_stateful,
         "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
         "events_windowed": q_events_windowed,
         "top_events_per_user": q_top_events_per_user,
@@ -1673,4 +1719,8 @@ def oracle_sql() -> dict[str, str]:
     # kernel under Trigger.AvailableNow, so its sink must equal the batch
     # result — the oracle IS the batch oracle.
     sql["stream_extract_clean"] = sql["extract_html_clean"]
+    # Stateful streaming strip drains the whole conversation in one
+    # AvailableNow batch, so its prefix == the conversation and the batch
+    # operator's oracle applies verbatim.
+    sql["conv_boilerplate_strip_stateful"] = sql["conv_boilerplate_strip"]
     return sql

@@ -1,0 +1,113 @@
+"""Custom stateful streaming operator (applyInPandasWithState):
+conv-scoped boilerplate strip with per-conversation running state."""
+
+import os
+import time
+
+import pandas as pd
+
+
+def _write_turns(spark, path, rows):
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _read_stream(spark, path, max_files=16):
+    return (
+        spark.readStream.schema("conv_id string, turn_idx int, text string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+BANNER = "-- sent from my agent --"
+
+
+def _conv(conv_id, n, banner_every=1):
+    rows = []
+    for i in range(n):
+        body = f"unique line {conv_id}-{i}"
+        text = body + ("\n" + BANNER if i % banner_every == 0 else "")
+        rows.append((conv_id, i, text))
+    return rows
+
+
+def test_stateful_single_batch_equals_batch_operator(spark, tmp_path):
+    """Whole conversation in ONE micro-batch → output equals the batch
+    strip_conv_boilerplate exactly (same cut arithmetic, same kept lines)."""
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+    from table_ocr_spark.streaming.stateful import stream_conv_boilerplate
+
+    rows = _conv("a", 5) + _conv("b", 4, banner_every=4) + _conv("tiny", 2)
+    src_dir = str(tmp_path / "in")
+    _write_turns(spark, src_dir, rows)
+
+    out = stream_conv_boilerplate(_read_stream(spark, src_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_strip")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from stateful_strip")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    batch_df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    want = (
+        strip_conv_boilerplate(batch_df, method="gather")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+    # sanity: conv a's banner (5/5 turns) was actually banned
+    assert all(BANNER not in t for t in got[got.conv_id == "a"].text_stripped)
+    # conv b's banner appears in 1/4 turns -> kept
+    assert any(BANNER in t for t in got[got.conv_id == "b"].text_stripped)
+
+
+def test_stateful_incremental_prefix_semantics(spark, tmp_path):
+    """Conversation split across two micro-batches: the first batch (2
+    banner turns, below min_turns) strips nothing; by the second batch the
+    accumulated state crosses the cut and the NEW turns are stripped —
+    state genuinely persists across batches."""
+    from table_ocr_spark.streaming.stateful import stream_conv_boilerplate
+
+    src_dir = str(tmp_path / "in2")
+    all_rows = _conv("c", 6)
+    _write_turns(spark, os.path.join(src_dir, "f1"), all_rows[:2])
+    time.sleep(1.1)  # file-source batches follow mtime order
+    _write_turns(spark, os.path.join(src_dir, "f2"), all_rows[2:])
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    out = stream_conv_boilerplate(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_prefix")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.turn_idx: r
+        for r in spark.sql("select * from stateful_prefix").collect()
+    }
+    assert len(got) == 6
+    # batch 1 (turns 0-1): 2 turns seen < min_turns=3 -> nothing banned
+    assert BANNER in got[0].text_stripped and got[0].n_banned_lines == 0
+    assert BANNER in got[1].text_stripped
+    # batch 2 (turns 2-5): 6 turns seen, banner in all 6 -> banned now
+    for i in range(2, 6):
+        assert BANNER not in got[i].text_stripped, i
+        assert got[i].n_banned_lines == 1
