@@ -647,6 +647,29 @@ def q_media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio contract: REAL stdlib 16-bit-PCM WAV sample decode
+    through the mapInPandas feature operator over literal canonical WAVs
+    (mono + stereo).  The DuckDB oracle reads the same samples with hex
+    arithmetic at their fixed data-chunk offsets (byte 44 + 2i, asserted
+    in wav_contract_fixtures) and checks frame counts AND the
+    mean-absolute-amplitude feature exactly."""
+    from table_ocr_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        wav_contract_fixtures,
+    )
+
+    rows = [(mid, kind, p, "audio/wav") for mid, kind, p, _n in wav_contract_fixtures()]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(df, feature_dim=2)
+    return feats.select(
+        "media_id",
+        "n_frames",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("mean_amp"),
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a LITERAL deterministic codebook: nearest-centroid
     assignment (rounded-dot argmax, ties to lower list), n_probe nearest
@@ -1127,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ivf_topk": q_ivf_topk,
         "media_png_stats": q_media_png_stats,
+        "media_wav_stats": q_media_wav_stats,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cells_flat": q_cells_flat,
@@ -1310,6 +1334,29 @@ def _sql_media_png_stats() -> str:
         f"({be32_16})::INT AS width, ({be32_20})::INT AS height, 1 AS n_frames, "
         + ", ".join(mean_cols)
         + f" FROM (VALUES {', '.join(rows)}) pngs(media_id, b, w, h, ch)"
+    )
+
+
+def _sql_media_wav_stats() -> str:
+    """WAV oracle: same literal blobs as hex; sample i = signed LE 16-bit
+    at byte 44+2i; mean(|s|)/32768 — an independent read of the samples
+    the Spark side decodes via array('h')."""
+    from table_ocr_spark.multimodal.media import wav_contract_fixtures
+
+    def byte(off: str) -> str:
+        return f"cast(concat('0x', substr(hex(b), 2*({off})+1, 2)) AS INTEGER)"
+
+    rows = []
+    for mid, _kind, p, n in wav_contract_fixtures():
+        ch = p[22]  # n_channels at byte 22 (LE u16; < 256 in the fixtures)
+        rows.append(f"({mid}, from_hex('{p.hex()}'), {n}, {ch})")
+    raw = f"({byte('44 + 2*i')} + 256 * {byte('45 + 2*i')})"
+    signed = f"(CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END)"
+    return (
+        "SELECT media_id::BIGINT AS media_id, (n_samples / ch)::INT AS n_frames, "
+        f"round((SELECT avg(abs({signed})) FROM (SELECT unnest(range(n_samples)) AS i) _i) "
+        "/ 32768.0, 4) AS mean_amp "
+        f"FROM (VALUES {', '.join(rows)}) wavs(media_id, b, n_samples, ch)"
     )
 
 
@@ -1583,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_topk": _sql_ivf_topk(n_lists=8, dim=64, n_probe=3, k=20),
         "media_png_stats": _sql_media_png_stats(),
+        "media_wav_stats": _sql_media_wav_stats(),
         "embedding_near_dup": (
             f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
             f"FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "

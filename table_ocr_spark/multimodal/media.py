@@ -5,12 +5,13 @@ Container-header DECODE is real and stdlib-only (``parse_media_header``):
 PNG IHDR, JPEG SOFn frame headers, and WAV RIFF/fmt chunks are parsed with
 ``struct`` — genuine files yield genuine width/height/frame counts (tested
 against a real committed PNG/WAV fixture).  PNG PIXEL decode is real too
-(``decode_png_pixels``: zlib inflate + all five PNG filters), so the PNG
-feature vector is a genuine per-channel mean-color feature.  Audio/video
-sample decode needs codec libraries that are NOT in this container, so
-those FEATURE vectors remain a clearly-marked deterministic stub; swapping
-in a real embedder means replacing one pure function — schema, batch
-iteration, partitioning, and output shape don't change.
+(``decode_png_pixels``: zlib inflate + all five PNG filters), and so is
+16-bit-PCM WAV sample decode (``decode_wav_samples``) — PNG rows carry a
+genuine mean-color feature and WAV rows a genuine mean-amplitude feature.
+Video frame decode needs codec libraries that are NOT in this container,
+so that FEATURE vector remains a clearly-marked deterministic stub;
+swapping in a real embedder means replacing one pure function — schema,
+batch iteration, partitioning, and output shape don't change.
 
 This mirrors how the reference treats OCR: recognition is a pluggable leaf
 (``TesseractOCR.__call__``, detectors.py:767-890) under a fixed pipeline;
@@ -241,6 +242,96 @@ def encode_png(
     )
 
 
+def decode_wav_samples(payload: bytes) -> dict:
+    """REAL stdlib-only WAV sample decode: RIFF chunk walk → ``fmt `` +
+    ``data`` → 16-bit signed little-endian PCM samples.
+
+    Supports PCM (format 1) at 16 bits/sample, any channel count (samples
+    are interleaved; stats are channel-agnostic) — raises
+    NotImplementedError outside that envelope (float/ADPCM/24-bit).
+    Returns n_channels, n_frames, and the mean absolute amplitude
+    normalized to [0, 1] — the audio analog of the PNG mean-color feature.
+    """
+    import array
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    i = 12
+    audio_fmt = bits = channels = block_align = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(payload):
+            audio_fmt, channels = struct.unpack("<HH", payload[i + 8 : i + 12])
+            (block_align,) = struct.unpack("<H", payload[i + 20 : i + 22])
+            (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if audio_fmt != 1 or bits != 16 or data is None or not block_align:
+        raise NotImplementedError(
+            f"WAV envelope unsupported (fmt={audio_fmt}, bits={bits}); "
+            "16-bit integer PCM only"
+        )
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) - (len(data) % 2)])
+    if sys_is_big_endian():
+        samples.byteswap()
+    n = len(samples)
+    mean_abs = (sum(abs(s) for s in samples) / n / 32768.0) if n else 0.0
+    return {
+        "n_channels": channels,
+        "n_frames": len(data) // block_align,
+        "mean_abs": mean_abs,
+    }
+
+
+def sys_is_big_endian() -> bool:
+    import sys
+
+    return sys.byteorder == "big"
+
+
+def encode_wav(samples, n_channels: int = 1, sample_rate: int = 8000) -> bytes:
+    """Minimal canonical 44-byte-header WAV writer (16-bit PCM): data
+    chunk at byte 44 — the fixed offset the DuckDB oracle relies on to
+    address samples with hex arithmetic."""
+    import array
+
+    arr = array.array("h", samples)
+    if sys_is_big_endian():
+        arr = array.array("h", samples)
+        arr.byteswap()
+    data = arr.tobytes()
+    block_align = 2 * n_channels
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    assert len(hdr) == 44
+    return hdr + data
+
+
+def wav_contract_fixtures() -> list:
+    """Deterministic literal WAVs for the exact-oracle contract query:
+    (media_id, kind, payload, n_samples).  Canonical header (asserted:
+    data chunk payload at byte 44), deterministic triangle-ish samples."""
+    out = []
+    for media_id, n, ch in ((11, 48, 1), (12, 64, 2)):
+        samples = [((media_id * 997 + i * 1103) % 20001) - 10000 for i in range(n)]
+        p = encode_wav(samples, n_channels=ch)
+        assert p[36:40] == b"data" and struct.unpack("<I", p[40:44])[0] == 2 * n
+        out.append((media_id, "audio", p, n))
+    return out
+
+
 def png_contract_fixtures() -> list:
     """Deterministic literal PNGs for the exact-oracle contract query:
     (media_id, kind, payload, width, height, channels).
@@ -317,10 +408,17 @@ def extract_media_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                     feat = [m / 255.0 for m in means[:feature_dim]]
                     feat += [0.0] * (feature_dim - len(feat))
                     rows["feature"].append(feat)
+                elif meta.get("container") == "wav":
+                    # REAL feature for 16-bit PCM WAV: mean |amplitude| in
+                    # [0, 1] over all interleaved samples
+                    wav = decode_wav_samples(raw)
+                    feat = [wav["mean_abs"]] + [0.0] * (feature_dim - 1)
+                    rows["feature"].append(feat[:feature_dim])
                 else:
-                    # STUB feature for non-PNG containers: deterministic,
-                    # seeded by media_id (a real embedder would decode
-                    # samples here — codec libs are not in this container)
+                    # STUB feature for video/unknown containers:
+                    # deterministic, seeded by media_id (a real embedder
+                    # would decode frames here — codec libs are not in
+                    # this container)
                     rows["feature"].append(
                         [
                             float((int(mid) * (i + 1)) % 101) / 101.0

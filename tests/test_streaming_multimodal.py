@@ -267,3 +267,47 @@ def test_png_decode_edges_no_spark():
     for depth, color, inter in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
         with _pytest.raises(NotImplementedError):
             decode_png_pixels(ihdr(depth, color, inter))
+
+
+def test_wav_sample_decode_no_spark():
+    """decode_wav_samples: exact roundtrip through encode_wav (mono and
+    stereo), real committed fixture, unsupported envelopes raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from table_ocr_spark.multimodal.media import decode_wav_samples, encode_wav
+
+    samples = [0, 100, -100, 32767, -32768, 12345, -1]
+    d = decode_wav_samples(encode_wav(samples, n_channels=1))
+    assert d["n_channels"] == 1 and d["n_frames"] == len(samples)
+    assert abs(d["mean_abs"] - sum(map(abs, samples)) / len(samples) / 32768.0) < 1e-12
+
+    st = decode_wav_samples(encode_wav(samples[:6], n_channels=2))
+    assert st["n_channels"] == 2 and st["n_frames"] == 3
+
+    import os
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "tone_8k.wav")
+    real = decode_wav_samples(open(fx, "rb").read())
+    assert real["n_frames"] == 200 and 0.0 < real["mean_abs"] < 1.0
+
+    # 8-bit PCM (bits=8) must raise, not mis-decode
+    bad = bytearray(encode_wav(samples))
+    bad[34:36] = struct.pack("<H", 8)
+    with _pytest.raises(NotImplementedError):
+        decode_wav_samples(bytes(bad))
+
+
+def test_wav_feature_is_real_mean_amplitude(spark):
+    """WAV rows get a REAL mean-|amplitude| feature (not the stub)."""
+    from table_ocr_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_media_features,
+    )
+
+    p = encode_wav([16384, -16384] * 8)  # mean |s| = 16384 -> 0.5
+    df = spark.createDataFrame([(21, "audio", p, "audio/wav")], MEDIA_SCHEMA)
+    r = extract_media_features(df, feature_dim=3).first()
+    assert r.n_frames == 16
+    assert [round(x, 6) for x in r.feature] == [0.5, 0.0, 0.0]
