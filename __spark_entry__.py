@@ -1098,6 +1098,73 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — returned-item customer revenue ranking: fact-fact join
+    (lineitem×orders, both filtered BEFORE the shuffle so pushdown prunes
+    the scans), map-side-combined agg per customer, broadcast customer dim
+    joined AFTER the aggregation (build side = 1 row per customer, not per
+    lineitem), deterministic top-20."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promo revenue percentage for one ship month: date-range
+    filter pushed to the lineitem scan, part dim pruned to (key, type) and
+    broadcast, conditional aggregation in one pass."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01"))
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0))
+                / F.sum("rev"),
+                2,
+            ).alias("promo_pct")
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction over transcripts derived from sf0.001
     documents (HTML-wrapped + markdown-table payload mix)."""
@@ -1171,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": q_order_priority_counts,
         "segment_revenue": q_segment_revenue,
         "top_revenue_orders": q_top_revenue_orders,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "promo_revenue_share": q_promo_revenue_share,
     }
 
 
@@ -1761,6 +1830,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
             "FROM lineitem GROUP BY l_orderkey) r ON o_orderkey = l_orderkey "
             "ORDER BY revenue DESC, o_orderkey LIMIT 20"
+        ),
+        "q10_returned_revenue": (
+            "SELECT c_custkey, c_name, c_mktsegment, revenue FROM customer "
+            "JOIN (SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' AND o_orderdate >= '1996-01-01' "
+            "AND o_orderdate < '1997-01-01' GROUP BY o_custkey) r "
+            "ON c_custkey = o_custkey "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "promo_revenue_share": (
+            "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+            "/ sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'"
         ),
     }
     # Structured Streaming equivalence: the stream runs the SAME extraction

@@ -148,3 +148,63 @@ def test_layout_query_prunes_doc_columns(spark):
     read_schema = [ln for ln in scan.splitlines() if "ReadSchema" in ln][0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "url" not in read_schema
+
+
+def test_pipeline_write_plan_shape(spark, src):
+    """The pipeline's per-commit-group plan (salt -> extract -> turn_seq
+    join -> observe) keeps ONE Python stage and computes turn_seq on a
+    narrow (conv_id, turn_idx) scan branch — the text never re-gathers
+    per conversation after salting."""
+    from pyspark.sql import Window
+
+    from table_ocr_spark.config import DEFAULT_CONFIG
+    from table_ocr_spark.operators.extract_job import bucket_expr, with_extraction
+    from table_ocr_spark.plans.pipeline import _salted_bucketed
+
+    keys = src.select("conv_id", "turn_idx", "text").filter(
+        bucket_expr(8).isin([0, 2, 4, 6])
+    )
+    sub = _salted_bucketed(keys, DEFAULT_CONFIG, 8)
+    ex = with_extraction(sub.select("conv_id", "turn_idx", "text", "bucket"), DEFAULT_CONFIG)
+    ex = ex.withColumn("bucket", bucket_expr(8))
+    seq = keys.select("conv_id", "turn_idx").withColumn(
+        "turn_seq", F.row_number().over(Window.partitionBy("conv_id").orderBy("turn_idx"))
+    )
+    joined = ex.join(seq, ["conv_id", "turn_idx"])
+
+    plan = _plan(joined)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    fmt = _formatted(joined)
+    # the turn_seq branch scans ONLY the composite key columns
+    read_schemas = [ln for ln in fmt.splitlines() if "ReadSchema" in ln]
+    assert any(
+        "conv_id" in ln and "turn_idx" in ln and "text" not in ln for ln in read_schemas
+    ), read_schemas
+
+
+def test_ivf_list_partition_pruning(spark, tmp_path):
+    """IVF at rest: writing the assigned table partitioned by _list lets
+    the probe filter prune partitions at the SCAN (the n_probe/n_lists
+    scan-fraction claim, verified on the physical plan)."""
+    from table_ocr_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_probes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = deterministic_centroids(dim=64, n_lists=8)
+    out = str(tmp_path / "ivf_table")
+    ivf_assign(emb, cents).write.partitionBy("_list").parquet(out)
+
+    at_rest = spark.read.parquet(out)
+    query = [float(x) for x in emb.filter("vec_id = 5").first()["embedding"]]
+    probes = ivf_probes(cents, query, n_probe=2)
+    pruned = at_rest.filter(F.col("_list").isin(probes))
+
+    fmt = _formatted(pruned)
+    scan = fmt[fmt.index("Scan parquet") :]
+    pf = [ln for ln in scan.splitlines() if "PartitionFilters" in ln][0]
+    assert "_list" in pf and "IN" in pf.upper(), pf
+    # and the pruned read really returns only the probed lists
+    assert set(r._list for r in pruned.select("_list").distinct().collect()) <= set(probes)
