@@ -96,3 +96,88 @@ def test_oracle_frame_matches_kernel(a, b):
     for i, txt in enumerate([a, b]):
         r = extract_payload(txt, C)
         assert g.loc[i, "clean_text"] == r.clean_text
+
+
+# ---- fast-path equivalence guards (the optimized kernels must equal the
+# ---- straightforward reference forms on arbitrary input) ----------------
+
+_any_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@given(_any_text)
+@settings(max_examples=300, deadline=None)
+def test_cleanup_text_fast_path_equivalence(s):
+    import html as _html
+    import re
+
+    from table_ocr_spark.functions.recognize import cleanup_text
+
+    tag_re = re.compile(r"<[^>]+>")
+    ws_re = re.compile(r"\s+")
+    reference = ws_re.sub(" ", _html.unescape(tag_re.sub(" ", s))).strip()
+    assert cleanup_text(s) == reference
+
+
+@given(_any_text)
+@settings(max_examples=300, deadline=None)
+def test_line_density_equivalence(s):
+    from table_ocr_spark.functions.threshold import line_density
+
+    want = (
+        sum(1 for c in s if c.isalnum() or c == " ") / len(s) if s else 0.0
+    )
+    assert line_density(s) == want
+
+
+@given(st.text(alphabet="|ab |c-", max_size=60), st.integers(0, 3))
+@settings(max_examples=300, deadline=None)
+def test_split_pipe_row_equivalence(line, min_sep):
+    from table_ocr_spark.functions.markup import _split_pipe_row
+
+    # straightforward per-character reference implementation
+    segs, start, prev = [], 0, None
+    for i, ch in enumerate(line):
+        if ch == "|":
+            if prev is not None and i - prev <= min_sep:
+                prev, start = i, i + 1
+                continue
+            segs.append((line[start:i], start))
+            start, prev = i + 1, i
+    segs.append((line[start:], start))
+    if segs and segs[0][0].strip() == "":
+        segs = segs[1:]
+    if segs and segs[-1][0].strip() == "":
+        segs = segs[:-1]
+    assert _split_pipe_row(line, min_sep) == segs
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 9),
+    st.integers(0, 6),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_roundtrip_property(w, h, ch, seed, level):
+    from table_ocr_spark.multimodal.media import decode_png_pixels, encode_png
+
+    px = bytes((seed * 131 + i * 17) % 256 for i in range(w * h * ch))
+    d = decode_png_pixels(encode_png(w, h, px, channels=ch, compress_level=level))
+    assert d["pixels"] == px and (d["width"], d["height"], d["channels"]) == (w, h, ch)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=2, max_size=64), st.sampled_from([1, 2]))
+@settings(max_examples=150, deadline=None)
+def test_wav_roundtrip_property(samples, ch):
+    from table_ocr_spark.multimodal.media import decode_wav_samples, encode_wav
+
+    if len(samples) % ch:
+        samples = samples[: len(samples) - 1]
+    if not samples:
+        samples = [0, 0]
+    d = decode_wav_samples(encode_wav(samples, n_channels=ch))
+    assert d["n_frames"] == len(samples) // ch
+    assert abs(d["mean_abs"] - sum(map(abs, samples)) / len(samples) / 32768.0) < 1e-12
