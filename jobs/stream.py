@@ -1,0 +1,95 @@
+"""spark-submit entry for the STREAMING extraction job.
+
+    spark-submit --py-files engine.zip jobs/stream.py \
+        --input /path/landing --output /path/extracted \
+        --checkpoint /path/ckpt [--once] [--strip-conv-boilerplate]
+
+Continuous-ingest deployment shape: new transcript parquet files land in
+``--input``; each micro-batch runs the same extraction kernel (or, with
+``--strip-conv-boilerplate``, the stateful conv-scoped strip) and appends
+to the parquet sink, with progress tracked by the streaming checkpoint.
+``--once`` uses Trigger.AvailableNow — drain what's there and exit (the
+batch-equivalent backfill mode the tests pin against the batch job).
+
+Local/sandbox invocation is identical minus spark-submit:
+
+    python jobs/stream.py --input ... --output ... --checkpoint ... --once
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="streaming transcript extraction job")
+    ap.add_argument("--input", required=True, help="landing dir (parquet files arrive here)")
+    ap.add_argument("--output", required=True, help="parquet sink dir")
+    ap.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    ap.add_argument("--config", default="default", help="builtin name | JSON file")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--once", action="store_true", help="Trigger.AvailableNow: drain and exit")
+    ap.add_argument(
+        "--strip-conv-boilerplate",
+        action="store_true",
+        help="run the STATEFUL conv-scoped boilerplate strip instead of per-turn extraction",
+    )
+    ap.add_argument(
+        "--idle-timeout-ms",
+        type=int,
+        default=0,
+        help="evict a conversation's strip state after this much processing-time inactivity",
+    )
+    args = ap.parse_args(argv)
+
+    from jobs.extract import _resolve_config
+    from table_ocr_spark.session import build_session
+
+    cfg = _resolve_config(args.config, None)
+    spark = build_session(app_name="stream_extract", cores=args.cores)
+
+    if args.strip_conv_boilerplate:
+        from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+        from table_ocr_spark.streaming.stateful import stream_conv_boilerplate
+
+        src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
+        out = stream_conv_boilerplate(src, idle_timeout_ms=args.idle_timeout_ms)
+        writer = (
+            out.writeStream.format("parquet")
+            .option("path", args.output)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append")
+        )
+        if args.once:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+    else:
+        from table_ocr_spark.streaming.stream_extract import start_extract_stream
+
+        q = start_extract_stream(
+            spark, args.input, args.output, args.checkpoint, cfg, available_now=args.once
+        )
+
+    q.awaitTermination()
+    progress = q.lastProgress or {}
+    print(
+        json.dumps(
+            {
+                "sink": args.output,
+                "batches": progress.get("batchId"),
+                "mode": "conv_strip" if args.strip_conv_boilerplate else "extract",
+                "once": args.once,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,3 +111,57 @@ def test_stateful_incremental_prefix_semantics(spark, tmp_path):
     for i in range(2, 6):
         assert BANNER not in got[i].text_stripped, i
         assert got[i].n_banned_lines == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for handler-level unit tests."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state does not exist")
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_handler_timeout_evicts_state_no_spark():
+    """The timed-out branch removes state and emits nothing; a resumed
+    conversation restarts its counts (degrades, never corrupts)."""
+    from table_ocr_spark.streaming.stateful import _strip_with_state
+
+    handler = _strip_with_state(ratio=0.6, min_turns=3, idle_timeout_ms=5000)
+
+    st = _FakeState(value=([1, 2], [3, 3], 3), timed_out=True)
+    assert list(handler(("c",), iter([]), st)) == []
+    assert st.removed
+
+    # fresh batch after eviction: state restarts from zero and the
+    # requested idle timeout is re-armed
+    st2 = _FakeState()
+    pdf = pd.DataFrame(
+        {"turn_idx": [0, 1, 2], "text": [f"{BANNER}\nu{i}" for i in range(3)]}
+    )
+    (out,) = list(handler(("c",), iter([pdf]), st2))
+    assert len(out) == 3 and st2.exists and st2.timeout_set == 5000
+    # 3 turns >= min_turns and banner in 3/3 -> banned already
+    assert all(BANNER not in t for t in out.text_stripped)
+    hashes, counts, n = st2.get
+    assert n == 3 and max(counts) == 3
