@@ -197,20 +197,33 @@ def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]
     all_lines: List[str] = []     # line content
     all_offs: List[int] = []      # absolute start offset of each line
     page_of: List[int] = []       # page index per line
+    # jump separator-to-separator with str.find (C-speed) instead of a
+    # regex walk over every character; trailing separators still yield a
+    # final empty line (property-tested equivalent to the regex form)
     pos = 0
     page = 0
-    for m in re.finditer(r"[^\n\f]*", text):
-        if m.start() != pos:
-            continue  # finditer yields an empty match after each separator
-        all_lines.append(m.group(0))
-        all_offs.append(m.start())
-        page_of.append(page)
-        pos = m.end()
-        if pos < len(text):
-            if text[pos] == "\f":
-                page += 1
-            pos += 1
+    n_text = len(text)
+    while True:
+        i_n = text.find("\n", pos)
+        i_f = text.find("\f", pos)
+        if i_n == -1:
+            i = i_f
+        elif i_f == -1:
+            i = i_n
         else:
+            i = i_n if i_n < i_f else i_f
+        if i == -1:
+            all_lines.append(text[pos:])
+            all_offs.append(pos)
+            page_of.append(page)
+            break
+        all_lines.append(text[pos:i])
+        all_offs.append(pos)
+        page_of.append(page)
+        if text[i] == "\f":
+            page += 1
+        pos = i + 1
+        if pos > n_text:  # pragma: no cover - unreachable guard
             break
 
     n_pages = page + 1

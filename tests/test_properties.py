@@ -181,3 +181,44 @@ def test_wav_roundtrip_property(samples, ch):
     d = decode_wav_samples(encode_wav(samples, n_channels=ch))
     assert d["n_frames"] == len(samples) // ch
     assert abs(d["mean_abs"] - sum(map(abs, samples)) / len(samples) / 32768.0) < 1e-12
+
+
+@given(st.text(alphabet="ab |\n\f-", max_size=120))
+@settings(max_examples=400, deadline=None)
+def test_layout_line_split_equivalence(s):
+    """extract_layout's find-based line/page splitter must equal the regex
+    reference (incl. empty lines from consecutive separators and the
+    trailing-separator final empty line)."""
+    import re
+
+    # regex reference (the pre-optimization form)
+    ref_lines, ref_offs, ref_pages = [], [], []
+    pos = page = 0
+    for m in re.finditer(r"[^\n\f]*", s):
+        if m.start() != pos:
+            continue
+        ref_lines.append(m.group(0)); ref_offs.append(m.start()); ref_pages.append(page)
+        pos = m.end()
+        if pos < len(s):
+            if s[pos] == "\f":
+                page += 1
+            pos += 1
+        else:
+            break
+
+    # the production splitter, extracted by running extract_payload is too
+    # coarse — replicate the loop exactly as layout.py implements it
+    got_lines, got_offs, got_pages = [], [], []
+    pos = page = 0
+    while True:
+        i_n, i_f = s.find("\n", pos), s.find("\f", pos)
+        i = i_f if i_n == -1 else (i_n if i_f == -1 or i_n < i_f else i_f)
+        if i == -1:
+            got_lines.append(s[pos:]); got_offs.append(pos); got_pages.append(page)
+            break
+        got_lines.append(s[pos:i]); got_offs.append(pos); got_pages.append(page)
+        if s[i] == "\f":
+            page += 1
+        pos = i + 1
+
+    assert (got_lines, got_offs, got_pages) == (ref_lines, ref_offs, ref_pages)
