@@ -1165,6 +1165,31 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (interpolated, = DuckDB quantile_cont) —
+    the distribution-stats agg shape.  Exact percentile gathers each
+    group's values, fine for bounded group counts; at 10^12 rows the scale
+    path is approx_percentile (t-digest-style sketch, mergeable map-side),
+    which is deliberately NOT the contract query because it is not
+    engine-exact."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+def q_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total in one pass — Spark
+    expands grouping sets before the shuffle, still map-side combined)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction over transcripts derived from sf0.001
     documents (HTML-wrapped + markdown-table payload mix)."""
@@ -1240,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "q10_returned_revenue": q_q10_returned_revenue,
         "promo_revenue_share": q_promo_revenue_share,
+        "event_value_percentiles": q_event_value_percentiles,
+        "returnflag_rollup": q_returnflag_rollup,
     }
 
 
@@ -1846,6 +1873,17 @@ def oracle_sql() -> dict[str, str]:
             "/ sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'"
+        ),
+        "event_value_percentiles": (
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90 "
+            "FROM events GROUP BY event_type"
+        ),
+        "returnflag_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "
+            "round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
     }
     # Structured Streaming equivalence: the stream runs the SAME extraction
