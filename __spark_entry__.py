@@ -670,6 +670,25 @@ def q_media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video contract: REAL ISO-BMFF (MP4) container-header
+    parse through the mapInPandas operator over literal spec-shaped MP4s —
+    box walk → moov/trak/tkhd (16.16 fixed-point geometry) + stbl/stsz
+    (frame count).  The oracle reads the same fields with byte arithmetic
+    at offsets asserted in mp4_contract_fixtures.  Frame DECODE stays a
+    labeled stub (needs codecs), so only header fields are contracted."""
+    from table_ocr_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        mp4_contract_fixtures,
+    )
+
+    rows = [(mid, kind, p, "video/mp4") for mid, kind, p, _w, _h, _n in mp4_contract_fixtures()]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(df, feature_dim=2)
+    return feats.select("media_id", "width", "height", "n_frames")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a LITERAL deterministic codebook: nearest-centroid
     assignment (rounded-dot argmax, ties to lower list), n_probe nearest
@@ -1243,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_png_stats": q_media_png_stats,
         "media_wav_stats": q_media_wav_stats,
+        "media_mp4_stats": q_media_mp4_stats,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cells_flat": q_cells_flat,
@@ -1453,6 +1473,33 @@ def _sql_media_wav_stats() -> str:
         f"round((SELECT avg(abs({signed})) FROM (SELECT unnest(range(n_samples)) AS i) _i) "
         "/ 32768.0, 4) AS mean_amp "
         f"FROM (VALUES {', '.join(rows)}) wavs(media_id, b, n_samples, ch)"
+    )
+
+
+def _sql_media_mp4_stats() -> str:
+    """MP4 oracle: big-endian 32-bit reads at the asserted fixed offsets —
+    tkhd width/height (16.16 → integer // 65536) and stsz sample count."""
+    from table_ocr_spark.multimodal.media import mp4_contract_fixtures
+
+    def be32(off: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"cast(concat('0x', substr(hex(b), 2*{off + k} + 1, 2)) AS BIGINT) * {256 ** (3 - k)}"
+                for k in range(4)
+            )
+            + ")"
+        )
+
+    rows = ", ".join(
+        f"({mid}, from_hex('{p.hex()}'))" for mid, _k, p, _w, _h, _n in mp4_contract_fixtures()
+    )
+    return (
+        "SELECT media_id::BIGINT AS media_id, "
+        f"({be32(120)} // 65536)::INT AS width, "
+        f"({be32(124)} // 65536)::INT AS height, "
+        f"{be32(168)}::INT AS n_frames "
+        f"FROM (VALUES {rows}) mp4s(media_id, b)"
     )
 
 
@@ -1727,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(n_lists=8, dim=64, n_probe=3, k=20),
         "media_png_stats": _sql_media_png_stats(),
         "media_wav_stats": _sql_media_wav_stats(),
+        "media_mp4_stats": _sql_media_mp4_stats(),
         "embedding_near_dup": (
             f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, round({cos_ab}, 4) AS cos_sim "
             f"FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "

@@ -116,7 +116,7 @@ def parse_media_header(payload: bytes) -> dict | None:
                 "n_frames": data_size // block_align,
             }
         return None
-    return None
+    return parse_mp4_header(payload)
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
@@ -240,6 +240,90 @@ def encode_png(
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for ISO-BMFF boxes in
+    data[start:end].  32-bit sizes only (size==0/1 → raise: 64-bit and
+    to-end boxes don't occur in the supported envelope)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        fourcc = data[i + 4 : i + 8]
+        if size < 8:
+            raise NotImplementedError(f"unsupported MP4 box size {size}")
+        yield fourcc, i + 8, min(i + size, end)
+        i += size
+
+
+def parse_mp4_header(payload: bytes) -> dict | None:
+    """Real ISO-BMFF (MP4) container-header parse, stdlib only: top-level
+    box walk → ``moov`` → first ``trak`` → ``tkhd`` (16.16 fixed-point
+    presentation width/height) and ``stbl/stsz`` (sample_count = frame
+    count).  Returns None when the payload is not an MP4 ('ftyp' must be
+    the first box, ISO 14496-12 §4.3)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    width = height = 0
+    n_frames = 0
+
+    def walk(s: int, e: int, path: tuple):
+        nonlocal width, height, n_frames
+        for cc, ps, pe in _walk_boxes(payload, s, e):
+            if cc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(ps, pe, path + (cc,))
+            elif cc == b"tkhd" and path == (b"moov", b"trak") and not width:
+                # v0 prefix: ver/flags + ctime/mtime/id/rsvd/dur (4+20);
+                # v1 widens the times/duration to 64-bit (4+32); then
+                # rsvd(8) layer(2) alt(2) vol(2) rsvd(2) matrix(36) = 52
+                ver = payload[ps]
+                off = ps + (24 if ver == 0 else 36) + 52  # → width (16.16)
+                if off + 8 <= pe:
+                    w_fx, h_fx = struct.unpack(">II", payload[off : off + 8])
+                    width, height = w_fx >> 16, h_fx >> 16
+            elif cc == b"stsz" and path[-1:] == (b"stbl",) and not n_frames:
+                if ps + 12 <= pe:
+                    (n_frames,) = struct.unpack(">I", payload[ps + 8 : ps + 12])
+
+    walk(0, len(payload), ())
+    return {"container": "mp4", "width": width, "height": height, "n_frames": n_frames}
+
+
+def encode_mp4(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal spec-shaped MP4: ftyp + moov(trak(tkhd + mdia(minf(stbl(
+    stsz))))) — enough genuine ISO-BMFF structure for the header parser
+    and the byte-arithmetic oracle (offsets asserted in the fixture
+    builder).  No media data; frame DECODE stays out of scope (codecs)."""
+
+    def box(cc: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + cc + payload
+
+    tkhd = bytes(4)  # version 0 + flags
+    tkhd += bytes(4 + 4 + 4 + 4 + 4)  # ctime mtime track_id reserved duration
+    tkhd += bytes(8 + 2 + 2 + 2 + 2 + 36)  # reserved layer alt vol reserved matrix
+    tkhd += struct.pack(">II", width << 16, height << 16)
+    stsz = bytes(4) + struct.pack(">II", 0, n_frames)  # ver/flags, size=0, count
+    stbl = box(b"stbl", box(b"stsz", stsz))
+    trak = box(b"trak", box(b"tkhd", tkhd) + box(b"mdia", box(b"minf", stbl)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", trak)
+
+
+def mp4_contract_fixtures() -> list:
+    """Deterministic literal MP4s: (media_id, kind, payload, width,
+    height, n_frames), with the tkhd width/height and stsz sample-count
+    offsets ASSERTED so the DuckDB oracle can address them directly."""
+    out = []
+    for media_id, w, h, n in ((31, 640, 360, 240), (32, 1280, 720, 48)):
+        p = encode_mp4(w, h, n)
+        # layout: ftyp(20) | moov hdr(8) | trak hdr(8) | tkhd hdr(8) +
+        # 76-byte prefix → width at 120, height at 124; tkhd box ends at
+        # 128, then mdia/minf/stbl/stsz headers (8 each) + ver/flags(4) +
+        # sample_size(4) → count at 168
+        assert struct.unpack(">I", p[120:124])[0] >> 16 == w
+        assert struct.unpack(">I", p[124:128])[0] >> 16 == h
+        assert struct.unpack(">I", p[168:172])[0] == n
+        out.append((media_id, "video", p, w, h, n))
+    return out
 
 
 def decode_wav_samples(payload: bytes) -> dict:

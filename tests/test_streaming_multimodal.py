@@ -311,3 +311,55 @@ def test_wav_feature_is_real_mean_amplitude(spark):
     r = extract_media_features(df, feature_dim=3).first()
     assert r.n_frames == 16
     assert [round(x, 6) for x in r.feature] == [0.5, 0.0, 0.0]
+
+
+def test_mp4_header_parse_no_spark():
+    """ISO-BMFF parse: geometry + frame count from tkhd/stsz; v1 tkhd
+    (64-bit times) also handled; truncated/garbage boxes rejected."""
+    import struct
+
+    import pytest as _pytest
+
+    from table_ocr_spark.multimodal.media import (
+        decode_media,
+        encode_mp4,
+        parse_media_header,
+        parse_mp4_header,
+    )
+
+    p = encode_mp4(1920, 1080, 300)
+    assert parse_media_header(p) == {
+        "container": "mp4", "width": 1920, "height": 1080, "n_frames": 300,
+    }
+    assert decode_media(p)["width"] == 1920
+
+    # version-1 tkhd: widen times/duration to 64-bit (prefix 36 vs 24)
+    def box(cc, payload):
+        return struct.pack(">I", 8 + len(payload)) + cc + payload
+
+    # prefix: 4 ver/flags + 32 times/id/rsvd/dur, then 52 rsvd/layer/matrix
+    tkhd_v1 = b"\x01" + bytes(3) + bytes(32) + bytes(52) + struct.pack(">II", 320 << 16, 240 << 16)
+    trak = box(b"trak", box(b"tkhd", tkhd_v1))
+    p1 = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", trak)
+    got = parse_mp4_header(p1)
+    assert (got["width"], got["height"]) == (320, 240)
+
+    assert parse_mp4_header(b"\x00\x00\x00\x08free????") is None  # no ftyp
+    with _pytest.raises(NotImplementedError):
+        parse_mp4_header(box(b"ftyp", b"isom") + b"\x00\x00\x00\x02moov")  # bad size
+
+
+def test_mp4_through_spark_feature_path(spark):
+    """MP4 rows ride the same mapInPandas plan; feature stays the labeled
+    stub (frame decode needs codecs), geometry is real."""
+    from table_ocr_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_mp4,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [(41, "video", encode_mp4(640, 360, 120), "video/mp4")], MEDIA_SCHEMA
+    )
+    r = extract_media_features(df, feature_dim=2).first()
+    assert (r.width, r.height, r.n_frames) == (640, 360, 120)
