@@ -76,12 +76,17 @@ def main(argv=None) -> int:
         )
 
     q.awaitTermination()
-    progress = q.lastProgress or {}
+    # recentProgress survives query termination (lastProgress is often None
+    # after an AvailableNow drain); its length = batches this process saw
+    recent = q.recentProgress or []
     print(
         json.dumps(
             {
                 "sink": args.output,
-                "batches": progress.get("batchId"),
+                "batches_seen": len(recent),
+                "rows_seen": sum(
+                    int((p.get("numInputRows") or 0)) for p in recent
+                ),
                 "mode": "conv_strip" if args.strip_conv_boilerplate else "extract",
                 "once": args.once,
             }

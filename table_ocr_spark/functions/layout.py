@@ -189,17 +189,18 @@ def vote_column_intervals(
     return intervals
 
 
-def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]], List[Span]]:
-    """Extract fixed-width grids + cleaned prose. Returns
-    (clean_text, cells, spans); offsets refer to the normalized payload."""
-    # Split on both \n and \f, tracking absolute offsets and page breaks.
-    # A \f separator closes the current page (form-feed page model).
-    all_lines: List[str] = []     # line content
-    all_offs: List[int] = []      # absolute start offset of each line
-    page_of: List[int] = []       # page index per line
-    # jump separator-to-separator with str.find (C-speed) instead of a
-    # regex walk over every character; trailing separators still yield a
-    # final empty line (property-tested equivalent to the regex form)
+def split_lines_pages(text: str) -> Tuple[List[str], List[int], List[int]]:
+    """Split on both ``\\n`` and ``\\f``, tracking absolute offsets and page
+    breaks (a ``\\f`` separator closes the current page — the form-feed page
+    model).  Returns (lines, absolute start offsets, page index per line).
+
+    Jumps separator-to-separator with ``str.find`` (C-speed) instead of a
+    regex walk over every character; trailing separators still yield a final
+    empty line (property-tested against the regex reference form — the test
+    drives THIS function, tests/test_properties.py)."""
+    all_lines: List[str] = []
+    all_offs: List[int] = []
+    page_of: List[int] = []
     pos = 0
     page = 0
     n_text = len(text)
@@ -225,8 +226,14 @@ def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]
         pos = i + 1
         if pos > n_text:  # pragma: no cover - unreachable guard
             break
+    return all_lines, all_offs, page_of
 
-    n_pages = page + 1
+
+def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]], List[Span]]:
+    """Extract fixed-width grids + cleaned prose. Returns
+    (clean_text, cells, spans); offsets refer to the normalized payload."""
+    all_lines, all_offs, page_of = split_lines_pages(text)
+    n_pages = (page_of[-1] + 1) if page_of else 1
     # optional global density threshold (Otsu analog): drop low-density
     # boilerplate lines before structural analysis
     if cfg.use_otsu:

@@ -6,12 +6,16 @@ PNG IHDR, JPEG SOFn frame headers, and WAV RIFF/fmt chunks are parsed with
 ``struct`` — genuine files yield genuine width/height/frame counts (tested
 against a real committed PNG/WAV fixture).  PNG PIXEL decode is real too
 (``decode_png_pixels``: zlib inflate + all five PNG filters), and so is
-16-bit-PCM WAV sample decode (``decode_wav_samples``) — PNG rows carry a
-genuine mean-color feature and WAV rows a genuine mean-amplitude feature.
-Video frame decode needs codec libraries that are NOT in this container,
-so that FEATURE vector remains a clearly-marked deterministic stub;
-swapping in a real embedder means replacing one pure function — schema,
-batch iteration, partitioning, and output shape don't change.
+16-bit-PCM WAV sample decode (``decode_wav_samples``) and MP4 luma-track
+sample decode (``decode_mp4_luma`` over the ``stsz``-sized ``mdat``) —
+PNG rows carry a genuine mean-color feature, WAV rows a genuine
+mean-amplitude feature, and MP4 rows a genuine mean-luma feature.
+CODEC-compressed media (H.264 frames, palette/16-bit PNG, float WAV)
+need libraries that are NOT in this container: those rows keep their
+genuinely-parsed header metadata and fall back per-row to a
+clearly-marked deterministic stub feature; swapping in a real decoder
+means replacing one pure function — schema, batch iteration,
+partitioning, and output shape don't change.
 
 This mirrors how the reference treats OCR: recognition is a pluggable leaf
 (``TesseractOCR.__call__``, detectors.py:767-890) under a fixed pipeline;
@@ -244,15 +248,29 @@ def encode_png(
 
 def _walk_boxes(data: bytes, start: int, end: int):
     """Yield (fourcc, payload_start, payload_end) for ISO-BMFF boxes in
-    data[start:end].  32-bit sizes only (size==0/1 → raise: 64-bit and
-    to-end boxes don't occur in the supported envelope)."""
+    data[start:end].  Handles all three legal size encodings (ISO 14496-12
+    §4.2): plain 32-bit, size==1 → 64-bit ``largesize`` follows the fourcc
+    (common for big ``mdat``), size==0 → box extends to the end of the
+    enclosing scope.  Sizes 2..7 are structurally impossible → ValueError
+    (callers treat that as 'not an MP4')."""
     i = start
     while i + 8 <= end:
         (size,) = struct.unpack(">I", data[i : i + 4])
         fourcc = data[i + 4 : i + 8]
-        if size < 8:
-            raise NotImplementedError(f"unsupported MP4 box size {size}")
-        yield fourcc, i + 8, min(i + size, end)
+        if size == 0:  # to end of enclosing scope — must be the last box
+            yield fourcc, i + 8, end
+            return
+        if size == 1:  # 64-bit largesize after the fourcc
+            if i + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            if size < 16:
+                raise ValueError(f"bad MP4 largesize {size}")
+            yield fourcc, i + 16, min(i + size, end)
+        else:
+            if size < 8:
+                raise ValueError(f"bad MP4 box size {size}")
+            yield fourcc, i + 8, min(i + size, end)
         i += size
 
 
@@ -261,7 +279,8 @@ def parse_mp4_header(payload: bytes) -> dict | None:
     box walk → ``moov`` → first ``trak`` → ``tkhd`` (16.16 fixed-point
     presentation width/height) and ``stbl/stsz`` (sample_count = frame
     count).  Returns None when the payload is not an MP4 ('ftyp' must be
-    the first box, ISO 14496-12 §4.3)."""
+    the first box, ISO 14496-12 §4.3) OR when the box structure is
+    malformed — the documented 'not recognized → None' contract."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         return None
     width = height = 0
@@ -285,43 +304,103 @@ def parse_mp4_header(payload: bytes) -> dict | None:
                 if ps + 12 <= pe:
                     (n_frames,) = struct.unpack(">I", payload[ps + 8 : ps + 12])
 
-    walk(0, len(payload), ())
+    try:
+        walk(0, len(payload), ())
+    except ValueError:
+        return None
     return {"container": "mp4", "width": width, "height": height, "n_frames": n_frames}
 
 
-def encode_mp4(width: int, height: int, n_frames: int) -> bytes:
+def encode_mp4(
+    width: int, height: int, n_frames: int, frame_lumas: bytes | None = None
+) -> bytes:
     """Minimal spec-shaped MP4: ftyp + moov(trak(tkhd + mdia(minf(stbl(
-    stsz))))) — enough genuine ISO-BMFF structure for the header parser
+    stsz))))) + mdat — genuine ISO-BMFF structure for the header parser
     and the byte-arithmetic oracle (offsets asserted in the fixture
-    builder).  No media data; frame DECODE stays out of scope (codecs)."""
+    builder).
+
+    The media track is a 1-byte-luma-per-frame stream: ``stsz`` declares
+    constant sample_size=1 (so no per-sample size table is needed — spec-
+    valid) with sample_count=n_frames, and ``mdat`` carries exactly those
+    n_frames luma bytes.  That makes the video FEATURE (mean luma per
+    clip) as genuinely decodable as the PNG/WAV ones — the deliberate
+    stdlib-only notch between 'header-only stub' and 'real codec', which
+    is out of scope (codec libraries absent)."""
 
     def box(cc: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + cc + payload
 
+    if frame_lumas is None:
+        frame_lumas = bytes((17 + 7 * i) % 256 for i in range(n_frames))
+    if len(frame_lumas) != n_frames:
+        raise ValueError("frame_lumas length must equal n_frames")
     tkhd = bytes(4)  # version 0 + flags
     tkhd += bytes(4 + 4 + 4 + 4 + 4)  # ctime mtime track_id reserved duration
     tkhd += bytes(8 + 2 + 2 + 2 + 2 + 36)  # reserved layer alt vol reserved matrix
     tkhd += struct.pack(">II", width << 16, height << 16)
-    stsz = bytes(4) + struct.pack(">II", 0, n_frames)  # ver/flags, size=0, count
+    stsz = bytes(4) + struct.pack(">II", 1, n_frames)  # ver/flags, size=1, count
     stbl = box(b"stbl", box(b"stsz", stsz))
     trak = box(b"trak", box(b"tkhd", tkhd) + box(b"mdia", box(b"minf", stbl)))
-    return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", trak)
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+        + box(b"moov", trak)
+        + box(b"mdat", frame_lumas)
+    )
+
+
+def decode_mp4_luma(payload: bytes) -> dict:
+    """REAL stdlib-only MP4 sample decode for the 1-byte-luma envelope
+    ``encode_mp4`` writes: ``stsz`` gives (sample_size=1, sample_count),
+    ``mdat`` holds the samples; returns the per-clip frame count and mean
+    luma in [0, 1].  Raises NotImplementedError outside that envelope
+    (real video codecs are not in this environment) — callers fall back
+    to the labeled stub feature, keeping header metadata."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError("not an MP4")
+    sample_size = n = 0
+    mdat = None
+
+    def walk(s: int, e: int, path: tuple):
+        nonlocal sample_size, n, mdat
+        for cc, ps, pe in _walk_boxes(payload, s, e):
+            if cc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(ps, pe, path + (cc,))
+            elif cc == b"stsz" and not n and ps + 12 <= pe:
+                sample_size, n = struct.unpack(">II", payload[ps + 4 : ps + 12])
+            elif cc == b"mdat" and mdat is None:
+                mdat = payload[ps:pe]
+
+    try:
+        walk(0, len(payload), ())
+    except ValueError:
+        raise NotImplementedError("malformed MP4 box structure")
+    if mdat is None or sample_size != 1 or n == 0 or len(mdat) < n:
+        raise NotImplementedError(
+            "MP4 sample decode supports only the 1-byte-luma envelope "
+            "(codec-compressed tracks need libraries absent here)"
+        )
+    frames = mdat[:n]
+    return {"n_frames": n, "mean_luma": sum(frames) / n / 255.0}
 
 
 def mp4_contract_fixtures() -> list:
     """Deterministic literal MP4s: (media_id, kind, payload, width,
-    height, n_frames), with the tkhd width/height and stsz sample-count
-    offsets ASSERTED so the DuckDB oracle can address them directly."""
+    height, n_frames), with the tkhd width/height, stsz sample-count AND
+    mdat sample-byte offsets ASSERTED so the DuckDB oracle can address
+    them directly."""
     out = []
     for media_id, w, h, n in ((31, 640, 360, 240), (32, 1280, 720, 48)):
-        p = encode_mp4(w, h, n)
+        lumas = bytes((media_id * 37 + i * 11) % 256 for i in range(n))
+        p = encode_mp4(w, h, n, frame_lumas=lumas)
         # layout: ftyp(20) | moov hdr(8) | trak hdr(8) | tkhd hdr(8) +
         # 76-byte prefix → width at 120, height at 124; tkhd box ends at
         # 128, then mdia/minf/stbl/stsz headers (8 each) + ver/flags(4) +
-        # sample_size(4) → count at 168
+        # sample_size(4) → count at 168; moov ends at 172, mdat hdr there
+        # → frame luma byte i at absolute offset 180 + i
         assert struct.unpack(">I", p[120:124])[0] >> 16 == w
         assert struct.unpack(">I", p[124:128])[0] >> 16 == h
         assert struct.unpack(">I", p[168:172])[0] == n
+        assert p[176:180] == b"mdat" and p[180 : 180 + n] == lumas
         out.append((media_id, "video", p, w, h, n))
     return out
 
@@ -484,31 +563,45 @@ def extract_media_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                 rows["width"].append(meta["width"])
                 rows["height"].append(meta["height"])
                 rows["n_frames"].append(meta["n_frames"])
-                if meta.get("container") == "png":
-                    # REAL feature for PNGs: per-channel pixel means in
-                    # [0, 1] (stdlib inflate + unfilter), zero-padded to
-                    # feature_dim
-                    means = decode_png_pixels(raw)["channel_means"]
-                    feat = [m / 255.0 for m in means[:feature_dim]]
-                    feat += [0.0] * (feature_dim - len(feat))
-                    rows["feature"].append(feat)
-                elif meta.get("container") == "wav":
-                    # REAL feature for 16-bit PCM WAV: mean |amplitude| in
-                    # [0, 1] over all interleaved samples
-                    wav = decode_wav_samples(raw)
-                    feat = [wav["mean_abs"]] + [0.0] * (feature_dim - 1)
-                    rows["feature"].append(feat[:feature_dim])
-                else:
-                    # STUB feature for video/unknown containers:
-                    # deterministic, seeded by media_id (a real embedder
-                    # would decode frames here — codec libs are not in
-                    # this container)
-                    rows["feature"].append(
-                        [
-                            float((int(mid) * (i + 1)) % 101) / 101.0
-                            for i in range(feature_dim)
+                # REAL features where the stdlib decode envelope covers the
+                # payload; a recognized container OUTSIDE the envelope
+                # (palette/16-bit/interlaced PNG, float/8-bit WAV, codec-
+                # compressed MP4) keeps its header metadata and falls back
+                # to the labeled stub feature instead of failing the whole
+                # mapInPandas stage on one row.
+                feat = None
+                try:
+                    if meta.get("container") == "png":
+                        # per-channel pixel means in [0, 1] (real stdlib
+                        # inflate + unfilter), zero-padded to feature_dim
+                        means = decode_png_pixels(raw)["channel_means"]
+                        feat = [m / 255.0 for m in means[:feature_dim]]
+                        feat += [0.0] * (feature_dim - len(feat))
+                    elif meta.get("container") == "wav":
+                        # mean |amplitude| in [0, 1] over all interleaved
+                        # 16-bit PCM samples (real stdlib decode)
+                        wav = decode_wav_samples(raw)
+                        feat = ([wav["mean_abs"]] + [0.0] * (feature_dim - 1))[
+                            :feature_dim
                         ]
-                    )
+                    elif meta.get("container") == "mp4":
+                        # mean luma in [0, 1] over the clip's mdat samples
+                        # (real decode of the 1-byte-luma track)
+                        v = decode_mp4_luma(raw)
+                        feat = ([v["mean_luma"]] + [0.0] * (feature_dim - 1))[
+                            :feature_dim
+                        ]
+                except NotImplementedError:
+                    feat = None
+                if feat is None:
+                    # STUB feature: deterministic, seeded by media_id (a
+                    # real embedder would decode here — codec libs are not
+                    # in this container)
+                    feat = [
+                        float((int(mid) * (i + 1)) % 101) / 101.0
+                        for i in range(feature_dim)
+                    ]
+                rows["feature"].append(feat)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)

@@ -92,17 +92,20 @@ def strip_conv_boilerplate(
     df: DataFrame,
     ratio: float = 0.6,
     min_turns: int = 3,
-    method: str = "gather",
+    method: str = "linehash",
     broadcast_banned: bool = True,
 ) -> DataFrame:
     """(conv_id, turn_idx, text) → (conv_id, turn_idx, text_stripped,
     n_banned_lines), with lines present in ≥ ratio of the conversation's
     turns removed.
 
+    method="linehash" (DEFAULT — the scale path): only line HASHES shuffle
+    (narrow projection), banned sets join back, text is stripped map-side;
+    a 20k-turn conversation never gathers into one task.
     method="gather": groupBy(conv_id).applyInPandas over full text — the
-    collision-free reference, fine when conversations fit a task.
-    method="linehash": the skew-safe scale path — only line HASHES shuffle
-    (narrow projection), banned sets join back, text is stripped map-side.
+    collision-free reference plan, oracle-equal to linehash; opt in when
+    conversations are known to fit a task and hash collisions (2^-60 per
+    line pair) must be exactly zero.
     """
     if method == "linehash":
         return _strip_linehash(df, ratio, min_turns, broadcast_banned)

@@ -40,7 +40,10 @@ def skewed_conv_ids(df: DataFrame, threshold: int) -> DataFrame:
 
 
 def effective_skew_threshold(
-    df: DataFrame, cfg: ExtractorConfig, num_partitions: int | None
+    df: DataFrame,
+    cfg: ExtractorConfig,
+    num_partitions: int | None,
+    total: int | None = None,
 ) -> int:
     """Skew threshold relative to the actual per-task row budget.
 
@@ -61,7 +64,8 @@ def effective_skew_threshold(
     thr = cfg.skew_turns_threshold
     if not num_partitions:
         return thr
-    total = df.select(F.count(F.lit(1)).alias("n")).first()["n"]
+    if total is None:
+        total = df.select(F.count(F.lit(1)).alias("n")).first()["n"]
     return max(thr, total // num_partitions // 2)
 
 
@@ -136,7 +140,7 @@ def salted_repartition(
     if adaptive_threshold or worker_budget:
         total = df.select(F.count(F.lit(1)).alias("n")).first()["n"]
     thr = (
-        max(cfg.skew_turns_threshold, total // (n or 32) // 2)
+        effective_skew_threshold(df, cfg, n or 32, total=total)
         if adaptive_threshold
         else cfg.skew_turns_threshold
     )

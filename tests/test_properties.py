@@ -186,10 +186,12 @@ def test_wav_roundtrip_property(samples, ch):
 @given(st.text(alphabet="ab |\n\f-", max_size=120))
 @settings(max_examples=400, deadline=None)
 def test_layout_line_split_equivalence(s):
-    """extract_layout's find-based line/page splitter must equal the regex
-    reference (incl. empty lines from consecutive separators and the
-    trailing-separator final empty line)."""
+    """layout.split_lines_pages (the PRODUCTION find-based splitter used by
+    extract_layout) must equal the regex reference (incl. empty lines from
+    consecutive separators and the trailing-separator final empty line)."""
     import re
+
+    from table_ocr_spark.functions.layout import split_lines_pages
 
     # regex reference (the pre-optimization form)
     ref_lines, ref_offs, ref_pages = [], [], []
@@ -206,19 +208,6 @@ def test_layout_line_split_equivalence(s):
         else:
             break
 
-    # the production splitter, extracted by running extract_payload is too
-    # coarse — replicate the loop exactly as layout.py implements it
-    got_lines, got_offs, got_pages = [], [], []
-    pos = page = 0
-    while True:
-        i_n, i_f = s.find("\n", pos), s.find("\f", pos)
-        i = i_f if i_n == -1 else (i_n if i_f == -1 or i_n < i_f else i_f)
-        if i == -1:
-            got_lines.append(s[pos:]); got_offs.append(pos); got_pages.append(page)
-            break
-        got_lines.append(s[pos:i]); got_offs.append(pos); got_pages.append(page)
-        if s[i] == "\f":
-            page += 1
-        pos = i + 1
+    got_lines, got_offs, got_pages = split_lines_pages(s)
 
     assert (got_lines, got_offs, got_pages) == (ref_lines, ref_offs, ref_pages)

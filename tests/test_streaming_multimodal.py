@@ -345,13 +345,35 @@ def test_mp4_header_parse_no_spark():
     assert (got["width"], got["height"]) == (320, 240)
 
     assert parse_mp4_header(b"\x00\x00\x00\x08free????") is None  # no ftyp
+    # malformed box size → None, per the 'not recognized → None' contract
+    # (NOT an exception: one bad row must not kill a mapInPandas stage)
+    assert parse_mp4_header(box(b"ftyp", b"isom") + b"\x00\x00\x00\x02moov") is None
+
+    # size==1 (64-bit largesize, the big-mdat encoding) and size==0
+    # (to-end-of-file) are LEGAL ISO-BMFF and must parse, not raise
+    p2 = encode_mp4(320, 240, 4, frame_lumas=bytes([10, 20, 30, 40]))
+    moov_end = 172
+    large_mdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 4) + bytes([10, 20, 30, 40])
+    )
+    p_large = p2[:moov_end] + large_mdat
+    assert parse_mp4_header(p_large)["n_frames"] == 4
+    p_toend = p2[:moov_end] + struct.pack(">I", 0) + b"mdat" + bytes([10, 20, 30, 40])
+    assert parse_mp4_header(p_toend)["n_frames"] == 4
+    from table_ocr_spark.multimodal.media import decode_mp4_luma
+
+    for pp in (p2, p_large, p_toend):
+        d = decode_mp4_luma(pp)
+        assert d["n_frames"] == 4
+        assert abs(d["mean_luma"] - 25 / 255.0) < 1e-12
     with _pytest.raises(NotImplementedError):
-        parse_mp4_header(box(b"ftyp", b"isom") + b"\x00\x00\x00\x02moov")  # bad size
+        decode_mp4_luma(p2[:moov_end])  # no mdat → outside the luma envelope
 
 
 def test_mp4_through_spark_feature_path(spark):
-    """MP4 rows ride the same mapInPandas plan; feature stays the labeled
-    stub (frame decode needs codecs), geometry is real."""
+    """MP4 rows ride the same mapInPandas plan; geometry is real and the
+    1-byte-luma mdat track yields a REAL mean-luma feature (codec-
+    compressed tracks would fall back to the labeled stub)."""
     from table_ocr_spark.multimodal.media import (
         MEDIA_SCHEMA,
         encode_mp4,
@@ -359,7 +381,42 @@ def test_mp4_through_spark_feature_path(spark):
     )
 
     df = spark.createDataFrame(
-        [(41, "video", encode_mp4(640, 360, 120), "video/mp4")], MEDIA_SCHEMA
+        [(41, "video", encode_mp4(640, 360, 120, frame_lumas=bytes([51] * 120)), "video/mp4")],
+        MEDIA_SCHEMA,
     )
     r = extract_media_features(df, feature_dim=2).first()
     assert (r.width, r.height, r.n_frames) == (640, 360, 120)
+    assert abs(r.feature[0] - 51 / 255.0) < 1e-6
+
+
+def test_decode_envelope_fallback_keeps_header(spark):
+    """A RECOGNIZED container outside the real-decode envelope (here: a
+    16-bit PNG) keeps its genuinely-parsed header metadata and falls back
+    to the deterministic stub feature — the whole stage must not fail on
+    one such row (ADVICE r3)."""
+    import struct as _struct
+    import zlib
+
+    from table_ocr_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # 2x1 grayscale PNG at bit depth 16 — valid container, unsupported depth
+    ihdr = _struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    raw = b"\x00" + bytes(2 * 2)
+    p16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(77, "image", p16, "image/png")], MEDIA_SCHEMA)
+    r = extract_media_features(df, feature_dim=3).first()
+    assert (r.width, r.height) == (2, 1)  # header survived
+    want = [float((77 * (i + 1)) % 101) / 101.0 for i in range(3)]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(r.feature, want))  # float32 schema
