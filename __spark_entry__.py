@@ -269,6 +269,17 @@ def q_spans_hocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans_hocr(ex).select(F.col("conv_id").cast("long").alias("doc_id"), "hocr")
 
 
+def q_cells_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-table export view (the reference's committed per-sample .html
+    artifact, sample/proc/02.html via pandas to_html, main.py:158-166)
+    over the markdown-table extraction — the oracle reconstructs the
+    full ``<table>`` fragment, XML escaping included, in SQL."""
+    from table_ocr_spark.operators.export import cells_html
+
+    ex = _extracted(spark, sf_dir, _md_payload)  # conv_id == doc_id::string
+    return cells_html(ex).select(F.col("conv_id").cast("long").alias("doc_id"), "html")
+
+
 def q_extract_layout_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `x // cell_threshold` column binning
     (detectors.py:646-651) as a config-selected strategy: columns at
@@ -1386,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_keep": q_dedup_near_keep,          # anti-join action over near_dup_components
         "conv_boilerplate_strip": q_conv_boilerplate_strip,  # gather method; linehash+stateful share the oracle
         "events_windowed": q_events_windowed,          # groupBy time-bucket agg shape
+        "cells_html": q_cells_html,                    # export view; spans_hocr covers the family
     }
 
 
@@ -1407,6 +1419,13 @@ _SQL_NORM_TEXT = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
 _SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
 
 _SQL_HASH60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _sql_xml_escape(x: str) -> str:
+    """Same &/</> escape sequence as operators/export._xml_escape."""
+    return (
+        "replace(replace(replace(" + x + ", '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
 
 
 def _sql_marker_count(markers) -> str:
@@ -1706,6 +1725,21 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             + " || chr(10) || '</div>' AS hocr FROM documents"
+        ),
+        "cells_html": (
+            # md grid [[c0,c1],[w1,w2],[w3,w4]] → <table> render with the
+            # same &/</> escape sequence as the Spark view
+            "SELECT doc_id, '<table>' || chr(10) || "
+            "'  <tr><td>c0</td><td>c1</td></tr>' || chr(10) || "
+            + " || chr(10) || ".join(
+                "'  <tr><td>' || "
+                + _sql_xml_escape(w(1 + 2 * r))
+                + " || '</td><td>' || "
+                + _sql_xml_escape(w(2 + 2 * r))
+                + " || '</td></tr>'"
+                for r in range(2)
+            )
+            + " || chr(10) || '</table>' AS html FROM documents"
         ),
         "extract_md_trimmed": (
             # roi_trim=2 over seg ' w ': len(w)>2 → w[1:-1], start +1, end -1

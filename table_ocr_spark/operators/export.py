@@ -3,11 +3,13 @@
 ``spans_hocr`` re-emits the engine's native span structs in the
 reference's committed artifact shape — hOCR word spans with bbox +
 ``x_wconf`` (reference golden ``sample/proc/02.hocr``:
-``<span class='ocrx_word' id='word_1_1' title='bbox ... ; x_wconf 88'>``).
-The span struct is the better native form (typed, queryable), so this is
-a VIEW, not the storage format: pure JVM expressions (``transform`` over
-the spans array + ``array_join``), zero Python, zero shuffle — safe to
-tack onto any extraction plan at 100 TB.
+``<span class='ocrx_word' id='word_1_1' title='bbox ... ; x_wconf 88'>``),
+and ``cells_html`` renders the recognized grid as the reference's
+committed per-sample ``.html`` table artifact (``sample/proc/02.html``).
+The cell/span structs are the better native form (typed, queryable), so
+these are VIEWS, not the storage format: pure JVM expressions
+(``transform`` over the arrays + ``array_join``), zero Python, zero
+shuffle — safe to tack onto any extraction plan at 100 TB.
 
 Geometry mapping: the reference's pixel bbox becomes the engine's logical
 grid/offset box — ``bbox <col> <row> <start> <end>`` (grid position +
@@ -80,4 +82,33 @@ def spans_hocr(extracted: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         F.concat(page_open, body, F.lit("\n</div>")).alias("hocr"),
+    )
+
+
+def cells_html(extracted: DataFrame) -> DataFrame:
+    """extraction output → (conv_id, turn_idx, html) — one HTML ``<table>``
+    render of the recognized cell grid per turn, the reference's committed
+    per-sample ``.html`` artifact analog (``sample/proc/02.html``: pandas
+    ``to_html`` of the casted table, main.py:158-166).
+
+    Pure JVM expressions (nested ``transform`` + ``array_join``), zero
+    Python, zero shuffle.  Cell text is XML-escaped with the same
+    ``& < >`` sequence as the hOCR view so both artifacts agree; turns
+    with no detected grid render the empty ``<table></table>``.
+    """
+    cell_td = lambda c: F.concat(  # noqa: E731
+        F.lit("<td>"), _xml_escape(F.coalesce(c, F.lit(""))), F.lit("</td>")
+    )
+    row_tr = lambda r: F.concat(  # noqa: E731
+        F.lit("  <tr>"), F.array_join(F.transform(r, cell_td), ""), F.lit("</tr>")
+    )
+    body = F.when(
+        F.col("cells").isNull() | (F.size("cells") == 0), F.lit("")
+    ).otherwise(
+        F.concat(F.lit("\n"), F.array_join(F.transform("cells", row_tr), "\n"), F.lit("\n"))
+    )
+    return extracted.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(F.lit("<table>"), body, F.lit("</table>")).alias("html"),
     )

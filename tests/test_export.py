@@ -36,3 +36,36 @@ def test_spans_hocr_is_jvm_only(spark):
     plan = spans_hocr(with_extraction(df))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan  # still a pure projection — zero shuffles
+
+
+def test_cells_html_golden_fragment(spark):
+    """HTML-table export view: the reference's committed per-sample .html
+    artifact shape (sample/proc/02.html), escaping included."""
+    from table_ocr_spark.operators.export import cells_html
+    from table_ocr_spark.operators.extract_job import with_extraction
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "| c0 | c1 |\n| --- | --- |\n| a<b | x&y |"),
+            ("c1", 1, "plain text no table"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r.turn_idx: r.html for r in cells_html(with_extraction(df)).collect()}
+    assert got[0] == (
+        "<table>\n"
+        "  <tr><td>c0</td><td>c1</td></tr>\n"
+        "  <tr><td>a&lt;b</td><td>x&amp;y</td></tr>\n"
+        "</table>"
+    )
+    assert got[1] == "<table></table>"  # grid-less turn → empty table
+
+
+def test_cells_html_is_jvm_only(spark):
+    from table_ocr_spark.operators.export import cells_html
+    from table_ocr_spark.operators.extract_job import with_extraction
+
+    df = spark.createDataFrame([("c", 0, "x y")], "conv_id string, turn_idx int, text string")
+    plan = cells_html(with_extraction(df))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
