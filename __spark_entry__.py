@@ -931,6 +931,64 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every non-click event picks up the
+    value of the user's latest click at-or-before its timestamp (LEFT
+    semantics — users with no prior click keep NULL).  Implemented as the
+    union + running-window plan (ONE key shuffle, no range-join blowup —
+    operators/asof.py); the oracle is DuckDB's native ASOF LEFT JOIN, so
+    the tie (<=) and null semantics are checked against an independent
+    engine's implementation of the same operator."""
+    from table_ocr_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    marks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark_value"))
+    )
+    left = ev.filter(F.col("event_type") != "click").select("event_id", "user_id", "ts")
+    out = asof_join(left, marks, key="user_id", right_value="mark_value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_mark_value", 6).alias("last_click_value"),
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by CONTENT fingerprint (hash
+    buckets, not RNG — reproducible, repartition-stable, and dup-leak-
+    resistant: exact duplicates co-assign by construction).  Per-row
+    assignment is exact-oracled; the summary column double-checks the
+    bucket arithmetic end-to-end."""
+    from table_ocr_spark.operators.textstats import dataset_split_col, fingerprint_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", dataset_split_col(fingerprint_col("text")).alias("split")
+    )
+
+
+def q_events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible check of the HLL sketch path (approx_count_distinct —
+    the distinct-count plan at 10^12 rows, mergeable map-side): the sketch
+    runs beside the exact distinct count in one aggregate and the query
+    returns a boolean pinning it within 5% (≥1) of exact; the oracle
+    expects TRUE — same hard-row pattern as the percentile sketch check."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_n_approx"),
+    )
+    tol = F.greatest(F.lit(1.0), F.col("n_exact") * 0.05)
+    ok = F.abs(F.col("_n_approx") - F.col("n_exact")) <= tol
+    return agg.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_distinct_users"),
+        ok.alias("sketch_within_tol"),
+    )
+
+
 def q_extract_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end extraction + aggregation: per-mode turn counts + average
     boilerplate ratio over a mixed corpus (html-wrapped evens, md-table
@@ -1376,14 +1434,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_stats": q_media_png_stats,
         "media_wav_stats": q_media_wav_stats,
         "media_mp4_stats": q_media_mp4_stats,
-        # ---- conversation scope (3) ----
-        "conv_metrics": q_conv_metrics,
+        # ---- conversation scope (2) ----
         "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
         "conv_boilerplate_strip_stateful": q_conv_boilerplate_strip_stateful,
-        # ---- events / windows (2) — entry 50 ends here ----
+        # ---- events / windows / as-of (3) — entry 50 ends here ----
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
-        # ================= tail: same-kernel variants (13) =================
+        "events_asof_join": q_events_asof_join,
+        # ====== tail: same-kernel variants + round-4 additions (17) ======
+        # every tail entry is exact-oracled and swept by
+        # tools/contract_sweep.py → BENCH/CONTRACT_SWEEP.md (committed)
         "extract_html_mode_ratio": q_extract_html_mode_ratio,  # kernel: extract_html_clean + conv_metrics bp
         "extract_md_spans": q_extract_md_spans,        # kernel: extract_md_cells / extract_md_trimmed spans
         "extract_md_conf": q_extract_md_conf,          # conf surface: spans_hocr x_wconf
@@ -1398,6 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_boilerplate_strip": q_conv_boilerplate_strip,  # gather method; linehash+stateful share the oracle
         "events_windowed": q_events_windowed,          # groupBy time-bucket agg shape
         "cells_html": q_cells_html,                    # export view; spans_hocr covers the family
+        "conv_metrics": q_conv_metrics,                # agg rollup; extract_mode_stats covers + pytest lineage
+        "dataset_split": q_dataset_split,              # deterministic hash train/val/test
+        "events_distinct_users_approx": q_events_distinct_users_approx,  # HLL sketch check
     }
 
 
@@ -1951,6 +2014,27 @@ def oracle_sql() -> dict[str, str]:
         "conv_boilerplate_strip_hashed": (
             f"SELECT doc_id, t AS turn_idx, {_SQL_TOKS}[t::INT + 1] || '-' || t::VARCHAR AS text_stripped "
             f"FROM documents, (SELECT unnest(range(5)) AS t) _r"
+        ),
+        "dataset_split": (
+            # same md5 → 60-bit → bucket arithmetic over the same content
+            # fingerprint string
+            f"SELECT doc_id, CASE WHEN {_SQL_HASH60.format(x=fingerprint)} % 1000 < 900 "
+            "THEN 'train' WHEN "
+            f"{_SQL_HASH60.format(x=fingerprint)} % 1000 < 950 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        "events_distinct_users_approx": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_users, "
+            "TRUE AS sketch_within_tol FROM events GROUP BY event_type"
+        ),
+        "events_asof_join": (
+            "WITH marks AS (SELECT user_id, ts, max(value) AS mark_value "
+            "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), "
+            "l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type <> 'click') "
+            "SELECT l.event_id, l.user_id, round(m.mark_value, 6) AS last_click_value "
+            "FROM l ASOF LEFT JOIN marks m "
+            "ON l.user_id = m.user_id AND m.ts <= l.ts"
         ),
         "events_windowed": (
             "SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS w_start, event_type, "

@@ -1,0 +1,74 @@
+"""Point-in-time (as-of) join — the time-series operator Spark's DataFrame
+API lacks natively (pandas has ``merge_asof``; DuckDB has ``ASOF JOIN``).
+
+For each left row, attach the value of the most recent right row with
+``right.ts <= left.ts`` within the same key (ties at equal timestamps
+include the right row, matching ``<=``).
+
+Scale plan — the union + running-window form, NOT an inequality join:
+
+* A naive ``l JOIN r ON l.key = r.key AND r.ts <= l.ts`` + argmax makes
+  Spark pick a sort-merge/broadcast-nested-loop RANGE join whose per-key
+  cost is O(|l_k| × |r_k|) — quadratic in the hot keys, the classic
+  skew bomb at 10^12 rows.
+* Here both sides are tagged, unioned on the narrow (key, ts, side,
+  value) projection, and a single running ``last(value, ignorenulls)``
+  window per key picks each left row's latest preceding right value:
+  ONE hash shuffle on the key, one sort per partition, O((|l|+|r|)
+  log …) total — the same shape a windowed aggregation already costs.
+* Left payload columns ride through as ONE struct column, so arbitrary
+  left schemas need no per-column null-branching in the union.
+
+Rows whose key has no preceding right row keep a NULL as-of value (the
+LEFT-join semantic).  The right side must be unique per (key, ts) —
+equal-timestamp duplicates make "the" latest value ambiguous in every
+engine; pre-aggregate (e.g. ``groupBy(key, ts).max(value)``) when the
+source can carry duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """left ⟕asof right: every left row + the latest right ``right_value``
+    at-or-before its timestamp, per ``key``.  Output = all left columns +
+    ``out_col`` (default ``asof_<right_value>``)."""
+    out_col = out_col or f"asof_{right_value}"
+    rv_type = right.schema[right_value].dataType
+    l2 = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts → <=
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+    )
+    r2 = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
+        F.col(right_value).alias("_rv"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        l2.unionByName(r2)
+        .withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select("_l.*", out_col)
+    )

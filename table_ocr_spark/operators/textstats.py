@@ -208,3 +208,29 @@ def with_textstats(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("quality_score", quality_score_col(text))
         .withColumn("fingerprint", fingerprint_col(text))
     )
+
+
+def dataset_split_col(
+    key: str | Column = "text",
+    n_buckets: int = 1000,
+    cuts: tuple = (900, 950),
+    names: tuple = ("train", "val", "test"),
+) -> Column:
+    """Deterministic train/val/test assignment by content hash — the
+    split step of a training-data pipeline.
+
+    Hash-based (md5 → 60-bit int → bucket) rather than RNG-based, so the
+    assignment is (1) reproducible across runs/engines with no seed
+    plumbing, (2) stable under repartitioning and incremental reruns (a
+    row's split never depends on what other rows are present), and
+    (3) leak-resistant when keyed on a CONTENT fingerprint: exact
+    duplicates land in the same split by construction, so a test document
+    can't leak into train via its copy.  ``cuts`` are bucket thresholds
+    out of ``n_buckets`` (default 90/5/5)."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(key) if isinstance(key, str) else key), 1, 15), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    out = F.when(h < cuts[0], names[0]).when(h < cuts[1], names[1]).otherwise(names[2])
+    return out

@@ -1,0 +1,102 @@
+"""As-of join operator: handwritten semantics cases + property equivalence
+against pandas ``merge_asof`` (the single-node reference implementation of
+the same operator) + plan-shape guard (one shuffle, no range join)."""
+
+from datetime import datetime
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime(2025, 1, 1, 0, 0, s)
+
+
+def test_asof_join_semantics(spark):
+    from table_ocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(5)),   # after mark@3 → 30.0
+            (2, "u1", _ts(3)),   # equal ts → tie includes the mark (<=)
+            (3, "u1", _ts(2)),   # before any mark → NULL
+            (4, "u2", _ts(9)),   # u2's latest ≤9 is mark@7
+            (5, "u3", _ts(1)),   # key with no marks at all → NULL
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(3), 30.0),
+            ("u2", _ts(4), 40.0),
+            ("u2", _ts(7), 70.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    assert got == {1: 30.0, 2: 30.0, 3: None, 4: 70.0, 5: None}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(-99, 99)),
+        max_size=25,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """Union+window plan == pandas merge_asof(direction='backward',
+    allow_exact_matches=True) per key, for arbitrary key/ts mixes."""
+    from table_ocr_spark.operators.asof import asof_join
+
+    # right side must be unique per (key, ts) — the operator's contract
+    rmap = {}
+    for k, t, v in rights:
+        rmap[(k, t)] = v
+    rrows = [(f"k{k}", _ts(t), float(v)) for (k, t), v in sorted(rmap.items())]
+    lrows = [(i, f"k{k}", _ts(t)) for i, (k, t) in enumerate(lefts)]
+
+    left = spark.createDataFrame(lrows, "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        rrows or [("zz", _ts(0), 0.0)], "user_id string, ts timestamp, value double"
+    )
+    if not rrows:
+        right = right.filter(F.lit(False))
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(rrows, columns=["user_id", "ts", "value"]).sort_values("ts", kind="mergesort")
+    if rrows:
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction="backward", allow_exact_matches=True
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.value) else float(r.value))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(i): None for i, _, _ in lrows}
+    assert got == want
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    """The plan must be the union+window form: exactly one key Exchange,
+    and NO nested-loop/cartesian range join."""
+    from table_ocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "a", _ts(1))], "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame([("a", _ts(0), 1.0)], "user_id string, ts timestamp, value double")
+    plan = asof_join(left, right, key="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -243,3 +243,53 @@ def test_bucketed_join_is_colocated(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS o_b")
         spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_q13_aggregates_orders_before_outer_join(spark):
+    """Q13 plan: the orders side must be count-aggregated BEFORE the
+    left-outer join (only per-customer counts shuffle, never whole order
+    rows) and the priority exclusion must push to the orders scan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q13_customer_distribution"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    f = _formatted(df)
+    assert "LeftOuter" in plan, plan
+    # pushed exclusion predicate on the orders scan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in f.replace(" ", ""), f
+    # aggregate appears below the outer join: the join's build/stream side
+    # reads from a HashAggregate, not a raw scan — assert by operator order
+    # in the tree string (children print BELOW their parent with deeper
+    # indent; the pre-join aggregate must exist in addition to the two
+    # post-join distribution aggregates)
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × (count, dist)
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22 plan: NOT EXISTS compiles to a left-anti hash join (no
+    nested-loop), the 1-row average joins via BroadcastExchange, and the
+    priority filter pushes to the orders scan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q22_idle_customers"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    f = _formatted(df)
+    assert "LeftAnti" in plan, plan
+    # the scalar average joins as a 1-ROW broadcast: a single
+    # BroadcastNestedLoopJoin whose build side is the IdentityBroadcastMode
+    # aggregate — bounded by construction; any OTHER nested loop would be
+    # a real range-join regression
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "IdentityBroadcastMode" in plan, plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in f.replace(" ", ""), f
+
+
+def test_asof_contract_query_plan(spark):
+    """The as-of contract query keeps the union+window shape end-to-end:
+    no nested-loop/cartesian range join anywhere in the executed plan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["events_asof_join"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan

@@ -126,3 +126,29 @@ def test_redact_pii(spark):
         "id <NUM> but zip 12345 stays",
         "clean text untouched",
     ]
+
+
+def test_dataset_split_deterministic_and_distributed(spark):
+    """Hash split: reproducible across evaluations, ~90/5/5, and exact
+    duplicates co-assign (content-fingerprint keyed → no train/test leak)."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.textstats import dataset_split_col, fingerprint_col
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body number "), F.col("id").cast("string")).alias("text"),
+    )
+    split = dataset_split_col(fingerprint_col("text"))
+    counts = {r["split"]: r["n"] for r in df.groupBy(split.alias("split")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 0.85 * 2000 and counts["val"] > 0 and counts["test"] > 0
+    a = df.select("doc_id", split.alias("s")).collect()
+    b = df.select("doc_id", split.alias("s")).collect()
+    assert sorted((r.doc_id, r.s) for r in a) == sorted((r.doc_id, r.s) for r in b)
+    # duplicate content → same split regardless of doc_id
+    dup = spark.createDataFrame(
+        [(1, "same content"), (2, "same content")], "doc_id long, text string"
+    )
+    got = {r.s for r in dup.select(dataset_split_col(fingerprint_col("text")).alias("s")).collect()}
+    assert len(got) == 1
