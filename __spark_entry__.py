@@ -1273,6 +1273,107 @@ def q_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated per-group scalar aggregate: lineitems
+    whose quantity is below 0.2× their part's average quantity.  Scale
+    plan: the correlated subquery is decorrelated by hand into a per-part
+    aggregate (map-side combined, one narrow (partkey, avg) frame) that
+    joins back to the fact on the grouping key — never a per-row
+    subquery execution."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_qty_cut")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def q_q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — chained SEMI + ANTI self-joins on the same fact:
+    per supplier, orders where the supplier shipped a discounted line
+    (base), ANOTHER supplier also shipped on that order (EXISTS → semi
+    self-join), and NO other supplier shipped a discounted line on it
+    (NOT EXISTS → anti self-join).  Scale plan: all three legs are narrow
+    (orderkey, suppkey[, discount]) projections of the same scan; the
+    semi/anti joins hash on l_orderkey — no correlated re-execution."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_discount"
+    )
+    base = li.filter(F.col("l_discount") > 0.05)
+    others = li.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    others_disc = base.select(
+        F.col("l_orderkey").alias("d_k"), F.col("l_suppkey").alias("d_s")
+    )
+    qualified = (
+        base.join(
+            others,
+            (base.l_orderkey == others.o_k) & (base.l_suppkey != others.o_s),
+            "left_semi",
+        )
+        .join(
+            others_disc,
+            (base.l_orderkey == F.col("d_k")) & (base.l_suppkey != F.col("d_s")),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("l_suppkey"))
+        .limit(20)
+    )
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs join predicate (brand × quantity-band
+    disjunction): the optimizer behavior exercised is DISJUNCTIVE
+    predicate handling — Catalyst extracts the common l_quantity bounds /
+    brand IN-list where it can, and the broadcast dim keeps the fact scan
+    the only big input."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & (F.col("p_size") <= 15))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_events_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per-user moving
+    average of event values over the trailing hour — the time-series
+    frame shape `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` that a
+    rows-frame cannot express (frame membership is decided by timestamp
+    distance, so ties and gaps behave identically in both engines)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    w = Window.partitionBy("user_id").orderBy(secs).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("hour_avg"),
+    )
+
+
 def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape — the LEFT-OUTER join + count-distribution query
     (customers with zero qualifying orders must survive with c_count=0,
@@ -1461,6 +1562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_metrics": q_conv_metrics,                # agg rollup; extract_mode_stats covers + pytest lineage
         "dataset_split": q_dataset_split,              # deterministic hash train/val/test
         "events_distinct_users_approx": q_events_distinct_users_approx,  # HLL sketch check
+        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # correlated per-group scalar avg
+        "q21_multi_supplier_orders": q_q21_multi_supplier_orders,    # chained semi+anti self-joins
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,        # OR-of-ANDs join predicate
+        "events_range_moving_avg": q_events_range_moving_avg,        # RANGE window frame
     }
 
 
@@ -2152,6 +2257,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "
             "round(sum(l_quantity), 2) AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        # avg(l_quantity) is exact in both engines (integer-valued doubles:
+        # exact sum / exact count), so the 0.2×avg cut is bit-identical
+        "q17_small_quantity_revenue": (
+            "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, "
+            "count(*)::BIGINT AS n_small FROM lineitem "
+            "JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut "
+            "FROM lineitem GROUP BY l_partkey) p USING (l_partkey) "
+            "WHERE l_quantity < qty_cut"
+        ),
+        "q21_multi_supplier_orders": (
+            "WITH li AS (SELECT l_orderkey, l_suppkey, l_discount FROM lineitem), "
+            "base AS (SELECT * FROM li WHERE l_discount > 0.05) "
+            "SELECT l_suppkey, count(*)::BIGINT AS numwait FROM base b "
+            "WHERE EXISTS (SELECT 1 FROM li o WHERE o.l_orderkey = b.l_orderkey "
+            "AND o.l_suppkey <> b.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM base d WHERE d.l_orderkey = b.l_orderkey "
+            "AND d.l_suppkey <> b.l_suppkey) "
+            "GROUP BY l_suppkey ORDER BY numwait DESC, l_suppkey LIMIT 20"
+        ),
+        "q19_disjunctive_revenue": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*)::BIGINT AS n_rows FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5) "
+            "OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10) "
+            "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)"
+        ),
+        "events_range_moving_avg": (
+            "SELECT event_id, user_id, round(avg(value) OVER ("
+            "PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT "
+            "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS hour_avg "
+            "FROM events"
         ),
         "q13_customer_distribution": (
             "SELECT c_count, count(*)::BIGINT AS custdist FROM ("

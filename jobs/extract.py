@@ -53,7 +53,13 @@ def _resolve_config(name: str, store_dir: str | None):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="transcript main-content extraction job")
-    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--input", required=True, help="transcripts dir")
+    ap.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=("parquet", "jsonl"),
+        help="table format (parquet) or one-JSON-object-per-line dumps (jsonl)",
+    )
     ap.add_argument("--output", required=True, help="output table root")
     ap.add_argument(
         "--config",
@@ -86,6 +92,7 @@ def main(argv=None) -> int:
             commit_groups=args.groups,
             run_id=args.run_id,
             resume=not args.no_resume,
+            input_format=args.input_format,
         )
         print(
             json.dumps(

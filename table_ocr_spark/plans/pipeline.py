@@ -110,6 +110,7 @@ def run_extract(
     run_id: Optional[str] = None,
     resume: bool = True,
     fail_after_groups: Optional[int] = None,
+    input_format: str = "parquet",
 ) -> RunResult:
     """Run (or resume) the extraction job. Idempotent per bucket."""
     t0 = time.time()
@@ -124,7 +125,11 @@ def run_extract(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    src = spark.read.parquet(input_path).select("conv_id", "turn_idx", "text")
+    from table_ocr_spark.sources.catalog import load_transcripts
+
+    src = load_transcripts(spark, input_path, fmt=input_format).select(
+        "conv_id", "turn_idx", "text"
+    )
 
     groups_done = 0
     for g in range(commit_groups):

@@ -79,8 +79,36 @@ def write_transcripts_parquet(pdf, path: str, n_files: int = 8) -> None:
         pq.write_table(table.slice(i, n), f"{path}/part-{i//n:05d}.parquet")
 
 
-def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+def load_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Transcript scan with an explicit (never inferred) schema.
+
+    ``parquet`` is the table format; ``jsonl`` reads one JSON object per
+    line — the interchange format conversation dumps actually arrive in —
+    with ``ts`` parsed from ISO-8601 strings.  Explicit schema matters
+    doubly for JSON: schema inference would cost a full extra pass over
+    100 TB and can silently widen types between drops."""
+    if fmt == "parquet":
+        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    if fmt in ("jsonl", "json"):
+        return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+    raise ValueError(f"unsupported transcript format {fmt!r} (parquet|jsonl)")
+
+
+def write_transcripts_jsonl(pdf, path: str, n_files: int = 4) -> None:
+    """Test/fixture writer for the JSONL interchange shape (one object per
+    line, ISO-8601 ts) — shuffled like the parquet writer."""
+    import os as _os
+
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    _os.makedirs(path, exist_ok=True)
+    n = max(1, len(shuffled) // n_files + 1)
+    for i in range(0, len(shuffled), n):
+        chunk = shuffled.iloc[i : i + n].copy()
+        if "ts" in chunk.columns:
+            chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f%z")
+        chunk.to_json(
+            f"{path}/part-{i//n:05d}.jsonl", orient="records", lines=True, force_ascii=False
+        )
 
 
 def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

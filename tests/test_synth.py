@@ -52,3 +52,66 @@ def test_megabyte_outlier_present_once():
     big = df[df["text"].str.len() > 500_000]
     assert len(big) == 1  # FIXTURES.md: one ~1 MB outlier per SF step
     assert big.iloc[0]["turn_idx"] == 0 and big.iloc[0]["conv_id"].endswith("-00000000")
+
+
+def test_jsonl_source_equals_parquet(spark, tmp_path):
+    """JSONL transcript dumps (one object per line, ISO-8601 ts) must load
+    to the exact same frame as the parquet table — same explicit schema,
+    no inference pass."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import (
+        load_transcripts,
+        write_transcripts_jsonl,
+        write_transcripts_parquet,
+    )
+
+    pdf = synth.gen_pandas(6, seed=3, max_long=30)
+    write_transcripts_parquet(pdf, str(tmp_path / "pq"))
+    write_transcripts_jsonl(pdf, str(tmp_path / "jl"))
+
+    a = load_transcripts(spark, str(tmp_path / "pq")).orderBy("conv_id", "turn_idx")
+    b = load_transcripts(spark, str(tmp_path / "jl"), fmt="jsonl").orderBy(
+        "conv_id", "turn_idx"
+    )
+    assert a.schema == b.schema
+    ra = [
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool,
+         r.ts.replace(tzinfo=None) if r.ts else None)
+        for r in a.collect()
+    ]
+    rb = [
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool,
+         r.ts.replace(tzinfo=None) if r.ts else None)
+        for r in b.collect()
+    ]
+    assert ra == rb
+
+
+def test_extract_cli_reads_jsonl(spark, tmp_path, monkeypatch, capsys):
+    """jobs/extract.py --input-format jsonl runs the same pipeline over a
+    JSONL dump and commits every bucket."""
+    import json as _json
+
+    import jobs.extract as X
+    from table_ocr_spark import session as session_mod, synth
+    from table_ocr_spark.sources.catalog import write_transcripts_jsonl
+
+    write_transcripts_jsonl(synth.gen_pandas(5, seed=9, max_long=20), str(tmp_path / "in"))
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = X.main(
+        [
+            "--input", str(tmp_path / "in"),
+            "--input-format", "jsonl",
+            "--output", str(tmp_path / "out"),
+            "--buckets", "4", "--groups", "2",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(out["committed"]) == [0, 1, 2, 3]
+    n_in = spark.read.json(str(tmp_path / "in")).count()
+    n_out = spark.read.parquet(str(tmp_path / "out") + "/data/*/*").count()
+    assert n_out == n_in
