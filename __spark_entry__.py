@@ -1542,7 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
-        # ====== tail: same-kernel variants + round-4 additions (17) ======
+        # ======= tail: same-kernel variants + post-gate additions =======
         # every tail entry is exact-oracled and swept by
         # tools/contract_sweep.py → BENCH/CONTRACT_SWEEP.md (committed)
         "extract_html_mode_ratio": q_extract_html_mode_ratio,  # kernel: extract_html_clean + conv_metrics bp

@@ -177,13 +177,13 @@ def main() -> int:
     # ZERO shuffles. Per-turn extraction is embarrassingly parallel; balance
     # comes from scan partitioning. (The skew-salting shuffle belongs to the
     # bucketed WRITE path — benched separately below as extract_salted.)
-    # min-of-5 for the two headline numbers: this VM shows episodic
-    # multi-second steal bursts (observed 6.4 s vs 48.7 s for the same
-    # query back-to-back, and ±50% swings round-to-round at n=3 — r3's
-    # flagship read 8.98 s in the driver bench vs 5.6-6.7 s in the repo's
-    # own same-plan runs).  Two extra reps cost ~12 s and keep a single
-    # stall from defining the round's headline.
-    headline_reps = max(5, int(os.environ.get("BENCH_REPEAT", "3")))
+    # min-of-5 (default) for the two headline numbers: this VM shows
+    # episodic multi-second steal bursts (observed 6.4 s vs 48.7 s for the
+    # same query back-to-back, and ±50% swings round-to-round at n=3 —
+    # r3's flagship read 8.98 s in the driver bench vs 5.6-6.7 s in the
+    # repo's own same-plan runs).  An explicit BENCH_REPEAT is honored
+    # as-is (including values below 5, for quick local runs).
+    headline_reps = int(os.environ.get("BENCH_REPEAT", "0")) or 5
     extract_sec = _best_of(headline_reps, lambda: with_extraction(src))
     timings["extract_flagship"] = round(extract_sec, 3)
     # selective skew salting (only straggler conversations shuffle) +

@@ -77,13 +77,16 @@ def main(argv=None) -> int:
 
     q.awaitTermination()
     # recentProgress survives query termination (lastProgress is often None
-    # after an AvailableNow drain); its length = batches this process saw
+    # after an AvailableNow drain); count only batches that moved rows —
+    # the drain can emit trailing zero-row progress entries
     recent = q.recentProgress or []
     print(
         json.dumps(
             {
                 "sink": args.output,
-                "batches_seen": len(recent),
+                "batches_seen": sum(
+                    1 for p in recent if int(p.get("numInputRows") or 0) > 0
+                ),
                 "rows_seen": sum(
                     int((p.get("numInputRows") or 0)) for p in recent
                 ),

@@ -543,21 +543,36 @@ def decode_media(payload: bytes) -> dict:
     )
 
 
-def extract_media_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+def extract_media_features(
+    df: DataFrame, feature_dim: int = 8, on_error: str = "null"
+) -> DataFrame:
     """media table → per-item metadata + a deterministic feature vector.
 
     ``mapInPandas``: one Arrow batch in, one out — the decode loop runs
     per-batch in Python (unavoidable for binary decoding), never per-row
     over the wire.  Frame-sampling analog: videos contribute n_frames to
     the feature scale.
+
+    ``on_error``: ``"null"`` (default) keeps a row whose container is not
+    recognized at all — NULL geometry, stub feature — so one corrupt blob
+    in a 100 TB corpus cannot kill the stage; ``"raise"`` restores the
+    strict fail-fast behavior for pipelines that treat corrupt media as a
+    data bug.
     """
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"media_id": [], "kind": [], "width": [], "height": [], "n_frames": [], "feature": []}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(payload)
-                meta = decode_media(raw)
+                try:
+                    meta = decode_media(raw)
+                except NotImplementedError:
+                    if on_error == "raise":
+                        raise
+                    meta = {"container": None, "width": None, "height": None, "n_frames": None}
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
                 rows["width"].append(meta["width"])

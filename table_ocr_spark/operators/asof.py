@@ -20,7 +20,11 @@ Scale plan — the union + running-window form, NOT an inequality join:
   left schemas need no per-column null-branching in the union.
 
 Rows whose key has no preceding right row keep a NULL as-of value (the
-LEFT-join semantic).  The right side must be unique per (key, ts) —
+LEFT-join semantic).  NULL handling matches the reference engines: a
+matched right row whose VALUE is null yields null (it does not fall back
+to an older mark), right rows with a NULL timestamp match nothing, and
+left rows with a NULL timestamp match nothing.  The right side must be
+unique per (key, ts) —
 equal-timestamp duplicates make "the" latest value ambiguous in every
 engine; pre-aggregate (e.g. ``groupBy(key, ts).max(value)``) when the
 source can carry duplicates.
@@ -46,20 +50,32 @@ def asof_join(
     at-or-before its timestamp, per ``key``.  Output = all left columns +
     ``out_col`` (default ``asof_<right_value>``)."""
     out_col = out_col or f"asof_{right_value}"
+    if out_col in left.columns:
+        raise ValueError(
+            f"asof_join output column {out_col!r} already exists on the left "
+            "frame; pass out_col= to disambiguate"
+        )
     rv_type = right.schema[right_value].dataType
     l2 = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts → <=
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        F.lit(None).cast(rv_type).alias("_rv"),
+        # the right-row marker struct stays NULL on left rows; on right rows
+        # it is non-null even when the VALUE is null, so last(ignorenulls)
+        # tracks "latest right ROW" — a matched NULL value stays NULL
+        # instead of resurrecting an older mark (ASOF semantics)
+        F.lit(None).cast(f"struct<v:{rv_type.simpleString()}>").alias("_r"),
     )
-    r2 = right.select(
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
+        # a NULL right timestamp satisfies no `r.ts <= l.ts` predicate in
+        # any engine; dropping it here also keeps it from sorting NULLS
+        # FIRST and spuriously matching every left row
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
-        F.col(right_value).alias("_rv"),
+        F.struct(F.col(right_value).alias("v")).alias("_r"),
     )
     w = (
         Window.partitionBy("_k")
@@ -68,7 +84,7 @@ def asof_join(
     )
     return (
         l2.unionByName(r2)
-        .withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .withColumn(out_col, F.last("_r", ignorenulls=True).over(w)["v"])
         .filter(F.col("_side") == 1)
         .select("_l.*", out_col)
     )

@@ -90,7 +90,15 @@ def load_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     if fmt == "parquet":
         return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
     if fmt in ("jsonl", "json"):
-        return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+        # FAILFAST: default PERMISSIVE silently turns malformed lines into
+        # all-NULL rows (read-path nullability is not enforced), which
+        # would feed NULL conv_id rows downstream with no signal — the
+        # same silent-corruption class the explicit schema guards against
+        return (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("mode", "FAILFAST")
+            .json(path)
+        )
     raise ValueError(f"unsupported transcript format {fmt!r} (parquet|jsonl)")
 
 

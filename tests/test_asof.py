@@ -100,3 +100,32 @@ def test_asof_join_plan_single_shuffle(spark):
     plan = asof_join(left, right, key="user_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_null_semantics(spark):
+    """ASOF reference-engine NULL semantics: (1) a matched right row with
+    a NULL value yields NULL — it must not resurrect an older mark; (2) a
+    NULL right timestamp matches nothing; (3) a NULL left timestamp
+    matches nothing; (4) an existing out_col name is rejected."""
+    import pytest as _pytest
+
+    from table_ocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(5)), (2, "u2", _ts(5)), (3, "u3", None)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(1), 5.0),
+            ("u1", _ts(2), None),   # latest ≤5 for u1 — value is genuinely NULL
+            ("u2", None, 7.0),      # NULL ts: matches nothing
+            ("u3", _ts(1), 9.0),    # left ts NULL: matches nothing
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    got = {r.event_id: r.asof_value for r in asof_join(left, right, key="user_id").collect()}
+    assert got == {1: None, 2: None, 3: None}
+
+    with _pytest.raises(ValueError, match="already exists"):
+        asof_join(left.withColumnRenamed("event_id", "asof_value"), right, key="user_id")

@@ -92,12 +92,18 @@ def test_multimodal_feature_extraction(spark):
     assert got[1].feature == again[1].feature
 
 
-def test_multimodal_foreign_bytes_raise(spark):
+def test_multimodal_foreign_bytes_modes(spark):
+    """Unrecognized payloads: default mode keeps the row (NULL geometry +
+    stub feature — one corrupt blob must not kill the stage); strict mode
+    restores the fail-fast raise."""
     from table_ocr_spark.multimodal.media import MEDIA_SCHEMA, extract_media_features
 
     df = spark.createDataFrame([(9, "image", b"\x89PNG not really", "image/png")], MEDIA_SCHEMA)
+    r = extract_media_features(df, feature_dim=2).first()
+    assert (r.width, r.height, r.n_frames) == (None, None, None)
+    assert len(r.feature) == 2  # deterministic stub keeps the row usable
     with pytest.raises(Exception):  # NotImplementedError surfaces as Py4J task failure
-        extract_media_features(df).collect()
+        extract_media_features(df, on_error="raise").collect()
 
 
 def test_real_container_headers_parse():
