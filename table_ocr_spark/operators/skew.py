@@ -118,6 +118,19 @@ def salted_repartition(
     extraction is order-free so the union is semantics-free (any ordering
     requirement is applied downstream per the north rule).
 
+    **Cost model vs the single-scan alternative** (which regime to use):
+    the union's two filtered branches scan the input TWICE (the IN-set
+    cannot row-group-prune when heavy convs are scattered), in exchange
+    for shuffling only the stragglers' bytes (measured: ~7 MB of 110 MB
+    at sf0.1).  The alternative — one scan + ``when(heavy, salt)`` + a
+    full ``repartition`` — scans once but shuffles EVERYTHING.  At 100 TB
+    a full shuffle (disk write + network + disk read of the whole input)
+    costs far more than a second columnar scan, so this union form is the
+    right compute-only plan; jobs that must shuffle anyway for output
+    alignment (the bucketed write) fold the salt into that one inherent
+    shuffle instead — ``plans/pipeline._salted_bucketed`` is that
+    single-scan variant.
+
     The threshold is budget-relative by default (``adaptive_threshold``):
     a conversation shuffles only when it exceeds half the per-task row
     budget — salting a 1.5k-turn conv when tasks hold 8k turns moves bytes
