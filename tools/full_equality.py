@@ -42,17 +42,23 @@ def main() -> int:
     oracle_s = time.time() - t1
     spark.stop()
 
-    key = lambda df: df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)  # noqa: E731
-    d, o = key(dist), key(oracle)
-    eq = (d["clean_text"].fillna("\x00") == o["clean_text"].fillna("\x00")) & (
-        len(d) == len(o)
+    # the gate's own canonicalization (stable mergesort over ALL columns,
+    # dtype normalization, whole-frame compare incl. the keys) — one
+    # implementation shared with tools/check_contract.py, and
+    # DataFrame.equals handles a row-count mismatch without raising
+    from tools.check_contract import norm_frame
+
+    d, o = norm_frame(dist), norm_frame(oracle)
+    all_equal = d.equals(o)
+    n_eq = (
+        int((d == o).all(axis=1).sum()) if len(d) == len(o) else 0
     )
-    n_eq = int(eq.sum())
     out = {
         "sf_dir": sf_dir,
         "turns": len(d),
+        "oracle_turns": len(o),
         "turns_equal": n_eq,
-        "all_equal": n_eq == len(d) == len(o),
+        "all_equal": bool(all_equal),
         "distributed_s": round(dist_s, 1),
         "oracle_single_node_s": round(oracle_s, 1),
     }
