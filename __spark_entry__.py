@@ -1263,6 +1263,22 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping_id — the full grouping-sets lattice
+    (ROLLUP's superset: per-flag, per-status, per-pair, grand total in one
+    pass) plus the bitmask that disambiguates a real NULL group member
+    from a subtotal row.  Spark expands the sets before the shuffle; the
+    aggregate stays map-side combined."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", F.col("gid").cast("long").alias("gid"), "n", "sum_qty"
+    )
+
+
 def q_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (subtotals + grand total in one pass — Spark
     expands grouping sets before the shuffle, still map-side combined)."""
@@ -1566,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_multi_supplier_orders": q_q21_multi_supplier_orders,    # chained semi+anti self-joins
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,        # OR-of-ANDs join predicate
         "events_range_moving_avg": q_events_range_moving_avg,        # RANGE window frame
+        "returnflag_cube": q_returnflag_cube,                        # CUBE + grouping_id
     }
 
 
@@ -2289,6 +2306,12 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT "
             "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS hour_avg "
             "FROM events"
+        ),
+        "returnflag_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid, "
+            "count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
         "q13_customer_distribution": (
             "SELECT c_count, count(*)::BIGINT AS custdist FROM ("
