@@ -270,9 +270,9 @@ def q_spans_hocr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cells_html(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML-table export view (the reference's committed per-sample .html
-    artifact, sample/proc/02.html via pandas to_html, main.py:158-166)
-    over the markdown-table extraction — the oracle reconstructs the
+    """Engine-native HTML-table export view over the markdown-table
+    extraction (no reference golden — the reference's committed html is
+    hOCR XHTML, which spans_hocr covers) — the oracle reconstructs the
     full ``<table>`` fragment, XML escaping included, in SQL."""
     from table_ocr_spark.operators.export import cells_html
 

@@ -122,6 +122,13 @@ def main(argv=None) -> int:
     from pyspark.sql import Observation
 
     src = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
+    # rows_in rides the SAME write action as the output metrics: observe on
+    # the pre-filter frame, not a post-write src.count() (which would be a
+    # second input job — a material extra pass at the 100 TB design point).
+    # The dedup semi-join references the observed node from both branches;
+    # Spark still reports the metric once (verified), not doubled.
+    obs_in = Observation("curation_in")
+    src = src.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
     curated = build_curated(src, cfg, args.min_quality, langs, args.strip_ratio)
     # stage metrics ride the single write pass via observe — no extra scan
     obs = Observation("curation")
@@ -143,7 +150,7 @@ def main(argv=None) -> int:
         "output": args.output,
         "min_quality": args.min_quality,
         "langs": langs or "all",
-        "rows_in": src.count(),
+        **obs_in.get,
         **obs.get,
     }
     with open(os.path.join(args.output, "_curation_summary.json"), "w") as f:

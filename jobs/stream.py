@@ -52,6 +52,11 @@ def main(argv=None) -> int:
 
     cfg = _resolve_config(args.config, None)
     spark = build_session(app_name="stream_extract", cores=args.cores)
+    # recentProgress keeps only the last numRecentProgressUpdates entries
+    # (default 100) — an AvailableNow drain over many landed files emits
+    # one progress per micro-batch, so the post-run batch/row tally below
+    # would silently undercount past 100 batches without this
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
 
     if args.strip_conv_boilerplate:
         from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA

@@ -20,10 +20,14 @@ Scale plan — the union + running-window form, NOT an inequality join:
   left schemas need no per-column null-branching in the union.
 
 Rows whose key has no preceding right row keep a NULL as-of value (the
-LEFT-join semantic).  NULL handling matches the reference engines: a
-matched right row whose VALUE is null yields null (it does not fall back
-to an older mark), right rows with a NULL timestamp match nothing, and
-left rows with a NULL timestamp match nothing.  The right side must be
+LEFT-join semantic).  NULL handling matches the reference engines
+(DuckDB native ASOF, pandas ``merge_asof``): a matched right row whose
+VALUE is null yields null (it does not fall back to an older mark),
+right rows with a NULL timestamp OR a NULL key match nothing — equality
+join keys never match on NULL, so NULL-key right rows are dropped
+before the union and NULL-key left rows come back with a NULL as-of
+value — and left rows with a NULL timestamp match nothing.  The right
+side must be
 unique per (key, ts) —
 equal-timestamp duplicates make "the" latest value ambiguous in every
 engine; pre-aggregate (e.g. ``groupBy(key, ts).max(value)``) when the
@@ -67,10 +71,15 @@ def asof_join(
         # instead of resurrecting an older mark (ASOF semantics)
         F.lit(None).cast(f"struct<v:{rv_type.simpleString()}>").alias("_r"),
     )
-    r2 = right.filter(F.col(right_ts).isNotNull()).select(
+    r2 = right.filter(
+        F.col(right_ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
         # a NULL right timestamp satisfies no `r.ts <= l.ts` predicate in
         # any engine; dropping it here also keeps it from sorting NULLS
-        # FIRST and spuriously matching every left row
+        # FIRST and spuriously matching every left row.  A NULL right KEY
+        # is dropped too: Window.partitionBy groups NULLs together, which
+        # would hand NULL-key left rows an as-of match that no equality
+        # join would ever produce
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),

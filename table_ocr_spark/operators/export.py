@@ -4,8 +4,11 @@
 reference's committed artifact shape — hOCR word spans with bbox +
 ``x_wconf`` (reference golden ``sample/proc/02.hocr``:
 ``<span class='ocrx_word' id='word_1_1' title='bbox ... ; x_wconf 88'>``),
-and ``cells_html`` renders the recognized grid as the reference's
-committed per-sample ``.html`` table artifact (``sample/proc/02.html``).
+and ``cells_html`` renders the recognized grid as an engine-native HTML
+``<table>`` view (the reference commits no table-HTML render — its only
+``.html`` sample, ``sample/proc/02 - Copy.html``, is tesseract's hOCR
+XHTML, which ``spans_hocr`` already covers; this view is the natural
+export a spreadsheet/table consumer of the casted grid would want).
 The cell/span structs are the better native form (typed, queryable), so
 these are VIEWS, not the storage format: pure JVM expressions
 (``transform`` over the arrays + ``array_join``), zero Python, zero
@@ -87,9 +90,10 @@ def spans_hocr(extracted: DataFrame) -> DataFrame:
 
 def cells_html(extracted: DataFrame) -> DataFrame:
     """extraction output → (conv_id, turn_idx, html) — one HTML ``<table>``
-    render of the recognized cell grid per turn, the reference's committed
-    per-sample ``.html`` artifact analog (``sample/proc/02.html``: pandas
-    ``to_html`` of the casted table, main.py:158-166).
+    render of the recognized cell grid per turn.  Engine-native export
+    view, no reference golden: the reference's only committed ``.html``
+    sample (``sample/proc/02 - Copy.html``) is tesseract hOCR XHTML
+    (covered by ``spans_hocr``), not a ``<table>`` render.
 
     Pure JVM expressions (nested ``transform`` + ``array_join``), zero
     Python, zero shuffle.  Cell text is XML-escaped with the same

@@ -129,3 +129,33 @@ def test_asof_join_null_semantics(spark):
 
     with _pytest.raises(ValueError, match="already exists"):
         asof_join(left.withColumnRenamed("event_id", "asof_value"), right, key="user_id")
+
+
+def test_asof_join_null_key_semantics(spark):
+    """(5) NULL equality keys never match — neither NULL-key left rows
+    picking up NULL-key right marks (Window.partitionBy would group them)
+    nor NULL-key right marks leaking into any partition.  Cross-checked
+    against DuckDB's native ASOF JOIN on the identical rows."""
+    import duckdb
+
+    from table_ocr_spark.operators.asof import asof_join
+
+    lrows = [(1, None, _ts(5)), (2, "u1", _ts(5)), (3, None, _ts(9))]
+    rrows = [(None, _ts(1), 11.0), (None, _ts(7), 13.0), ("u1", _ts(2), 5.0)]
+    left = spark.createDataFrame(lrows, "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(rrows, "user_id string, ts timestamp, value double")
+    got = {r.event_id: r.asof_value for r in asof_join(left, right, key="user_id").collect()}
+    assert got == {1: None, 2: 5.0, 3: None}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(event_id BIGINT, user_id VARCHAR, ts TIMESTAMP)")
+    con.execute("CREATE TABLE r(user_id VARCHAR, ts TIMESTAMP, value DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    want = dict(
+        con.execute(
+            "SELECT l.event_id, r.value FROM l ASOF LEFT JOIN r"
+            " ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    assert got == want
