@@ -280,6 +280,28 @@ def q_cells_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells_html(ex).select(F.col("conv_id").cast("long").alias("doc_id"), "html")
 
 
+def q_clean_text_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searchable-PDF artifact (the reference's fourth committed per-sample
+    format, sample/proc/*.pdf — tesseract's invisible-text-layer PDF) as a
+    build→parse ROUND TRIP: the extracted text is rendered into a complete
+    deterministic PDF byte stream, then the text layer is parsed back out
+    of the bytes, so the oracle (plain extracted text + page count 1)
+    fails if either direction corrupts a byte.  Both kernels are
+    Arrow-batched pandas_udfs on the zero-shuffle extraction plan."""
+    from table_ocr_spark.operators.pdf_export import (
+        pdf_page_count,
+        pdf_text_layer,
+        with_text_pdf,
+    )
+
+    ex = with_text_pdf(_extracted(spark, sf_dir, _html_wrapped))
+    return ex.select(
+        "doc_id",
+        pdf_page_count(F.col("pdf")).alias("n_pages"),
+        pdf_text_layer(F.col("pdf")).alias("text"),
+    )
+
+
 def q_extract_layout_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `x // cell_threshold` column binning
     (detectors.py:646-651) as a config-selected strategy: columns at
@@ -1444,6 +1466,46 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _setop_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The two key sets the INTERSECT/EXCEPT contract queries operate on:
+    positive-balance customer keys vs urgent-order customer keys.  Both
+    sides prune to the single key column at the scan (ReadSchema is one
+    long each) so the set op shuffles nothing but keys."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"))
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").cast("long").alias("c_custkey"))
+    )
+    return c, o
+
+
+def q_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI INTERSECT (distinct set semantics): positive-balance customers
+    who also placed an urgent order.  SURVEY §2.6 set-operation shape —
+    the reference has no set ops (only the trivial border-list ``extend``,
+    detectors.py:361-362), so this is relational-fringe coverage.  Scale
+    plan: Catalyst rewrites INTERSECT to an aggregate + left-semi hash
+    join on the key — ONE key shuffle per side, map-side combined, no
+    row payload; survives 10^12 rows the same way the q22 anti-join
+    does."""
+    c, o = _setop_sides(spark, sf_dir)
+    return c.intersect(o)
+
+
+def q_customer_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI EXCEPT (distinct set semantics) — the set-op form of q22's
+    NOT EXISTS: positive-balance customers with NO urgent order.  Same
+    key-only scan pruning; Catalyst rewrites EXCEPT to distinct +
+    left-anti hash join — one key shuffle per side."""
+    c, o = _setop_sides(spark, sf_dir)
+    return c.subtract(o)
+
+
 def q_event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible check of the SKETCH percentile path (the 10^12-row
     plan the exact `percentile()` query documents): approx_percentile
@@ -1490,99 +1552,105 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries, GATE-ORDER-AWARE: the driver's correctness gate
-    records at most 50 rows in dict insertion order, so the FIRST 50
-    entries are chosen to cover every distinct operator/plan shape exactly
-    once (relational fringe first — it silently fell out of the r3 gate —
-    then one query per kernel/operator family).  The TAIL (entries 51+)
-    holds same-kernel variants whose machinery is already exercised by a
-    head entry; each tail query stays fully oracle-backed (run them with
-    ``tools/check_contract.py``) and has a green row in an earlier
-    CORRECTNESS_r{N} file."""
+    records at most 50 rows in dict insertion order, so the head-50 window
+    ROTATES each round (VERDICT r4 #1): round 5 promotes every entry that
+    lacked a driver-gated row in CORRECTNESS_r04 — the whole r4 tail (22,
+    incl. the never-gated cells_html / dataset_split / HLL / q17 / q19 /
+    q21 / RANGE-window / CUBE) plus this round's new queries — and demotes
+    the long-stable 3-4-green-round head entries (extract_* kernel
+    variants, q1-era aggregates, text-stats family) to the tail.  Every
+    tail entry stays fully oracle-backed (run ``tools/check_contract.py``),
+    has green rows in earlier CORRECTNESS_r{N} files, and is re-swept each
+    round by ``tools/contract_sweep.py`` → BENCH/CONTRACT_SWEEP.md."""
     return {
-        # ---- relational fringe (16) — joins incl. outer/anti, aggs,
-        # rollup, percentiles exact + sketch, top-k ----
+        # ---- relational fringe (16): never/once-gated joins, set ops,
+        # grouping sets, percentiles exact + sketch ----
+        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # decorrelated per-group scalar avg
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,        # OR-of-ANDs join predicate
+        "q21_multi_supplier_orders": q_q21_multi_supplier_orders,    # chained semi+anti self-joins
+        "customer_intersect": q_customer_intersect,                  # NEW r5: ANSI INTERSECT
+        "customer_except": q_customer_except,                        # NEW r5: ANSI EXCEPT
+        "returnflag_cube": q_returnflag_cube,                        # CUBE + grouping_id
         "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_region_revenue": q_q5_region_revenue,
-        "q6_revenue_delta": q_q6_revenue_delta,
         "q10_returned_revenue": q_q10_returned_revenue,
-        "q13_customer_distribution": q_q13_customer_distribution,
+        "q13_customer_distribution": q_q13_customer_distribution,    # left-outer + agg-before-join
+        "q22_idle_customers": q_q22_idle_customers,                  # broadcast scalar + anti join
         "promo_revenue_share": q_promo_revenue_share,
-        "q18_large_orders": q_q18_large_orders,
-        "q22_idle_customers": q_q22_idle_customers,
-        "order_priority_counts": q_order_priority_counts,
-        "segment_revenue": q_segment_revenue,
         "brand_revenue": q_brand_revenue,
         "top_revenue_orders": q_top_revenue_orders,
         "event_value_percentiles": q_event_value_percentiles,
-        "event_value_percentiles_approx": q_event_value_percentiles_approx,
+        "event_value_percentiles_approx": q_event_value_percentiles_approx,  # t-digest hard gate
         "returnflag_rollup": q_returnflag_rollup,
-        # ---- extraction kernels, one per mode/knob family (10) ----
-        "extract_html_clean": q_extract_html_clean,
-        "stream_extract_clean": q_stream_extract_clean,
-        "extract_md_cells": q_extract_md_cells,
+        # ---- extraction kernels + export artifacts (12) ----
+        "extract_html_mode_ratio": q_extract_html_mode_ratio,
+        "extract_md_spans": q_extract_md_spans,
+        "extract_md_conf": q_extract_md_conf,
         "extract_md_trimmed": q_extract_md_trimmed,
+        "extract_layout_spans": q_extract_layout_spans,
+        "extract_layout_clean": q_extract_layout_clean,
+        "cells_flat": q_cells_flat,
+        "cells_html": q_cells_html,
+        "clean_text_pdf": q_clean_text_pdf,                          # NEW r5: searchable-PDF round trip
         "spans_hocr": q_spans_hocr,
+        "stream_extract_clean": q_stream_extract_clean,              # streaming == batch equality
+        "conv_metrics": q_conv_metrics,
+        # ---- text analysis (1) — the 6 stat kernels are 3-4x green, tail ----
+        "dataset_split": q_dataset_split,                            # deterministic hash split
+        # ---- dedup pipeline stages (6) ----
+        "minhash_signature": q_minhash_signature,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_near_keep": q_dedup_near_keep,
+        "near_dup_components": q_near_dup_components,                # iterative CC — keep gated
+        "minhash_lsh_capped": q_minhash_lsh_capped,                  # hot-bucket cap — keep gated
+        "near_dup_verified": q_near_dup_verified,
+        # ---- similarity / ANN (2) ----
+        "embedding_near_dup": q_embedding_near_dup,
+        "ivf_topk": q_ivf_topk,
+        # ---- multimodal (3) ----
+        "media_png_stats": q_media_png_stats,
+        "media_wav_stats": q_media_wav_stats,
+        "media_mp4_stats": q_media_mp4_stats,
+        # ---- conversation scope (2) ----
+        "conv_boilerplate_strip": q_conv_boilerplate_strip,
+        "conv_boilerplate_strip_stateful": q_conv_boilerplate_strip_stateful,
+        # ---- events / windows / as-of (4) ----
+        "events_windowed": q_events_windowed,
+        "events_range_moving_avg": q_events_range_moving_avg,        # RANGE frame
+        "events_distinct_users_approx": q_events_distinct_users_approx,  # HLL hard gate
+        "events_asof_join": q_events_asof_join,
+        # ---- 2-green relational backfill (3) — entry 50 ends here ----
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_region_revenue": q_q5_region_revenue,
+        "q18_large_orders": q_q18_large_orders,
+        # ======= tail: 3-4x-green stable entries (demoted r5) =======
+        # every tail entry is exact-oracled and re-swept each round by
+        # tools/contract_sweep.py -> BENCH/CONTRACT_SWEEP.md (committed)
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "order_priority_counts": q_order_priority_counts,
+        "segment_revenue": q_segment_revenue,
+        "extract_html_clean": q_extract_html_clean,
+        "extract_md_cells": q_extract_md_cells,
         "extract_otsu": q_extract_otsu,
         "extract_adaptive": q_extract_adaptive,
         "extract_layout_cells": q_extract_layout_cells,
         "extract_layout_binned": q_extract_layout_binned,
         "extract_mode_stats": q_extract_mode_stats,
-        # ---- text analysis (6) ----
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "redact_pii": q_redact_pii,
         "vocab_topk": q_vocab_topk,
-        # ---- dedup pipeline stages (6) ----
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_lsh_capped": q_minhash_lsh_capped,
-        "near_dup_components": q_near_dup_components,
-        "near_dup_verified": q_near_dup_verified,
         "simhash_near_dup": q_simhash_near_dup,
-        # ---- similarity / ANN (4) ----
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
-        "ivf_topk": q_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        # ---- multimodal (3) ----
-        "media_png_stats": q_media_png_stats,
-        "media_wav_stats": q_media_wav_stats,
-        "media_mp4_stats": q_media_mp4_stats,
-        # ---- conversation scope (2) ----
         "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
-        "conv_boilerplate_strip_stateful": q_conv_boilerplate_strip_stateful,
-        # ---- events / windows / as-of (3) — entry 50 ends here ----
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
-        "events_asof_join": q_events_asof_join,
-        # ======= tail: same-kernel variants + post-gate additions =======
-        # every tail entry is exact-oracled and swept by
-        # tools/contract_sweep.py → BENCH/CONTRACT_SWEEP.md (committed)
-        "extract_html_mode_ratio": q_extract_html_mode_ratio,  # kernel: extract_html_clean + conv_metrics bp
-        "extract_md_spans": q_extract_md_spans,        # kernel: extract_md_cells / extract_md_trimmed spans
-        "extract_md_conf": q_extract_md_conf,          # conf surface: spans_hocr x_wconf
-        "extract_layout_spans": q_extract_layout_spans,  # kernel: extract_layout_cells
-        "extract_layout_clean": q_extract_layout_clean,  # kernel: extract_layout_cells
-        "cells_flat": q_cells_flat,                    # explode view of extract_md_cells
-        "minhash_signature": q_minhash_signature,      # stage of minhash_lsh_pairs
-        "simhash": q_simhash,                          # stage of simhash_near_dup
-        "ngram_jaccard": q_ngram_jaccard,              # same jaccard kernel as near_dup_verified
-        "embedding_near_dup": q_embedding_near_dup,    # brute pair cosine: cosine_topk + _lsh cover
-        "dedup_near_keep": q_dedup_near_keep,          # anti-join action over near_dup_components
-        "conv_boilerplate_strip": q_conv_boilerplate_strip,  # gather method; linehash+stateful share the oracle
-        "events_windowed": q_events_windowed,          # groupBy time-bucket agg shape
-        "cells_html": q_cells_html,                    # export view; spans_hocr covers the family
-        "conv_metrics": q_conv_metrics,                # agg rollup; extract_mode_stats covers + pytest lineage
-        "dataset_split": q_dataset_split,              # deterministic hash train/val/test
-        "events_distinct_users_approx": q_events_distinct_users_approx,  # HLL sketch check
-        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # correlated per-group scalar avg
-        "q21_multi_supplier_orders": q_q21_multi_supplier_orders,    # chained semi+anti self-joins
-        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,        # OR-of-ANDs join predicate
-        "events_range_moving_avg": q_events_range_moving_avg,        # RANGE window frame
-        "returnflag_cube": q_returnflag_cube,                        # CUBE + grouping_id
     }
 
 
@@ -2328,6 +2396,21 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY c_nationkey"
+        ),
+        "clean_text_pdf": (
+            # round trip must reproduce the extracted text exactly, one page
+            f"SELECT doc_id, 1::INT AS n_pages, {_SQL_NORM_TEXT} AS text "
+            "FROM documents"
+        ),
+        "customer_intersect": (
+            "SELECT c_custkey::BIGINT AS c_custkey FROM customer WHERE c_acctbal > 0.0 "
+            "INTERSECT "
+            "SELECT o_custkey::BIGINT FROM orders WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "customer_except": (
+            "SELECT c_custkey::BIGINT AS c_custkey FROM customer WHERE c_acctbal > 0.0 "
+            "EXCEPT "
+            "SELECT o_custkey::BIGINT FROM orders WHERE o_orderpriority = '1-URGENT'"
         ),
         # the sketch query returns EXACT percentiles plus a boolean the
         # sketch must satisfy; the oracle pins that boolean to TRUE

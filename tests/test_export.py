@@ -39,8 +39,9 @@ def test_spans_hocr_is_jvm_only(spark):
 
 
 def test_cells_html_golden_fragment(spark):
-    """HTML-table export view: the reference's committed per-sample .html
-    artifact shape (sample/proc/02.html), escaping included."""
+    """HTML-table export view (engine-native <table> render of the cell
+    grid; the reference's committed .html is hOCR XHTML), escaping
+    included."""
     from table_ocr_spark.operators.export import cells_html
     from table_ocr_spark.operators.extract_job import with_extraction
 
@@ -68,4 +69,61 @@ def test_cells_html_is_jvm_only(spark):
     df = spark.createDataFrame([("c", 0, "x y")], "conv_id string, turn_idx int, text string")
     plan = cells_html(with_extraction(df))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+
+
+def test_pdf_round_trip_and_structure():
+    """Searchable-PDF writer: byte-exact xref offsets, /Count 1, and a
+    lossless build→parse text-layer round trip for edge-case payloads
+    (empty, multi-line, UTF-8, PDF-delimiter characters)."""
+    from table_ocr_spark.operators.pdf_export import (
+        build_text_pdf,
+        count_pages,
+        parse_text_layer,
+    )
+
+    for t in ["hello world", "", "multi\nline\ntext", "ünïcode 日本語 (p) \\b <hex>"]:
+        pdf = build_text_pdf(t)
+        assert pdf.startswith(b"%PDF-1.4") and pdf.endswith(b"%%EOF\n")
+        assert parse_text_layer(pdf) == t
+        assert count_pages(pdf) == 1
+        # xref entries must point exactly at each "N 0 obj" header
+        xref_at = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+        assert pdf[xref_at : xref_at + 4] == b"xref"
+        for i, ln in enumerate(pdf[xref_at:].split(b"\n")[3:8], start=1):
+            off = int(ln.split()[0])
+            assert pdf[off:].startswith(b"%d 0 obj" % i)
+        # declared stream /Length must match the actual stream bytes
+        import re
+
+        m = re.search(rb"/Length (\d+) >>\nstream\n(.*?)\nendstream", pdf, re.DOTALL)
+        assert m and int(m.group(1)) == len(m.group(2))
+    assert parse_text_layer(b"not a pdf") is None
+    assert count_pages(None) is None
+
+
+def test_pdf_column_kernels(spark):
+    """Arrow-batched pdf kernels on a DataFrame: NULL-safe, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.pdf_export import (
+        pdf_page_count,
+        pdf_text_layer,
+        with_text_pdf,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "some text"), ("b", None)], "doc string, clean_text string"
+    )
+    out = with_text_pdf(df)
+    got = {
+        r.doc: (r.back, r.n)
+        for r in out.select(
+            "doc",
+            pdf_text_layer(F.col("pdf")).alias("back"),
+            pdf_page_count(F.col("pdf")).alias("n"),
+        ).collect()
+    }
+    assert got == {"a": ("some text", 1), "b": (None, None)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

@@ -293,3 +293,24 @@ def test_asof_contract_query_plan(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_setop_plans_are_hash_joins(spark):
+    """INTERSECT/EXCEPT must compile to distinct-aggregate + semi/anti
+    HASH join on the pruned key column — never a nested-loop/cartesian
+    form — and both scans must prune to the single key (ReadSchema)."""
+    import __spark_entry__ as e
+
+    for q, join_kind in (("customer_intersect", "LeftSemi"), ("customer_except", "LeftAnti")):
+        plan = (
+            e.queries()[q](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert join_kind in plan, (q, plan)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "HashAggregate" in plan  # the distinct is map-side combined
+        # scans prune to key + filter column only
+        assert "ReadSchema: struct<c_custkey:bigint,c_acctbal:double>" in plan
+        assert "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>" in plan
+        # the priority predicate reaches the parquet scan
+        assert "EqualTo(o_orderpriority,1-URGENT)" in plan
