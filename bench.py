@@ -69,19 +69,26 @@ def _noop_write(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _salted_shuffle_bytes(evlog_dir: str, reps: int) -> dict:
-    """Parse the Spark event log (written because spark.eventLog.enabled):
-    sum the shuffle write/read byte metrics of every stage belonging to a
-    job tagged with the 'salted_leg' job group, divided by the number of
-    timed reps → MEASURED per-run shuffle volume of the selective-salting
-    leg.  The skew sketch (count + heavy-hitter collect) runs before the
-    group is set, so its two narrow jobs are excluded — as is its cost
-    from the timed region (it is job-level planning, paid once per commit
-    group in the pipeline; see BENCH/BASELINE.md note)."""
+def _evlog_leg_metrics(evlog_dir: str, reps: int) -> dict:
+    """Parse the Spark event log (written because spark.eventLog.enabled)
+    and attribute per-stage byte metrics to the two tagged headline legs,
+    divided by the number of timed reps → MEASURED per-run volumes:
+
+    - 'salted_leg' stages → shuffle write/read bytes (the residual cost of
+      the selective-salting design).  The skew sketch (count + heavy-hitter
+      collect) runs before the group is set, so its two narrow jobs are
+      excluded — as is its cost from the timed region (it is job-level
+      planning, paid once per commit group in the pipeline; see
+      BENCH/BASELINE.md note).
+    - 'flagship_leg' stages → bytes through the JVM↔Python Arrow boundary
+      of ArrowEvalPython ('data sent to / returned from Python workers'
+      SQL metrics — the extraction stage's dominant data movement, since
+      the flagship plan has ZERO exchanges).  Warm-up runs before the
+      group is set and is excluded."""
     import glob
 
-    salted_stages: set = set()
-    write_b = read_b = 0
+    stages: dict[str, set] = {"salted_leg": set(), "flagship_leg": set()}
+    write_b = read_b = to_py_b = from_py_b = 0
     # event log v2 writes a DIRECTORY per app (rolling files inside)
     for path in sorted(glob.glob(os.path.join(evlog_dir, "**", "*"), recursive=True)):
         if not os.path.isfile(path):
@@ -95,13 +102,14 @@ def _salted_shuffle_bytes(evlog_dir: str, reps: int) -> dict:
                 t = ev.get("Event")
                 if t == "SparkListenerJobStart":
                     grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
-                    if grp == "salted_leg":
-                        salted_stages.update(ev.get("Stage IDs", []))
+                    if grp in stages:
+                        stages[grp].update(ev.get("Stage IDs", []))
                 elif t == "SparkListenerStageCompleted":
                     si = ev.get("Stage Info", {})
-                    if si.get("Stage ID") in salted_stages:
-                        for acc in si.get("Accumulables", []):
-                            name = acc.get("Name", "")
+                    sid = si.get("Stage ID")
+                    for acc in si.get("Accumulables", []):
+                        name = acc.get("Name", "")
+                        if sid in stages["salted_leg"]:
                             if name == "internal.metrics.shuffle.write.bytesWritten":
                                 write_b += int(acc.get("Value", 0))
                             elif name in (
@@ -109,9 +117,16 @@ def _salted_shuffle_bytes(evlog_dir: str, reps: int) -> dict:
                                 "internal.metrics.shuffle.read.remoteBytesRead",
                             ):
                                 read_b += int(acc.get("Value", 0))
+                        if sid in stages["flagship_leg"]:
+                            if name == "data sent to Python workers":
+                                to_py_b += int(acc.get("Value", 0))
+                            elif name == "data returned from Python workers":
+                                from_py_b += int(acc.get("Value", 0))
     return {
         "salted_shuffle_write_bytes_per_run": write_b // max(1, reps),
         "salted_shuffle_read_bytes_per_run": read_b // max(1, reps),
+        "arrow_bytes_to_python_per_run": to_py_b // max(1, reps),
+        "arrow_bytes_from_python_per_run": from_py_b // max(1, reps),
     }
 
 
@@ -184,7 +199,12 @@ def main() -> int:
     # repo's own same-plan runs).  An explicit BENCH_REPEAT is honored
     # as-is (including values below 5, for quick local runs).
     headline_reps = int(os.environ.get("BENCH_REPEAT", "0")) or 5
+    # job group tags let the event-log parse attribute per-stage metrics
+    # (Arrow-boundary bytes here, shuffle bytes for the salted leg) to the
+    # timed region only — warm-up ran before the tag
+    spark.sparkContext.setJobGroup("flagship_leg", "flagship extraction")
     extract_sec = _best_of(headline_reps, lambda: with_extraction(src))
+    spark.sparkContext.setJobGroup("", "")
     timings["extract_flagship"] = round(extract_sec, 3)
     # selective skew salting (only straggler conversations shuffle) +
     # extraction: the compute shape of the pipeline's pre-write balancing.
@@ -213,7 +233,7 @@ def main() -> int:
     # ---- contract queries on driver tables ------------------------------
     if os.environ.get("BENCH_EXTRACT_ONLY"):
         spark.stop()
-        shuffle_stats = _salted_shuffle_bytes(evlog_dir, headline_reps)
+        shuffle_stats = _evlog_leg_metrics(evlog_dir, headline_reps)
         print(
             json.dumps(
                 {
@@ -266,7 +286,7 @@ def main() -> int:
         timings[qname] = round(best, 3)
 
     spark.stop()
-    shuffle_stats = _salted_shuffle_bytes(evlog_dir, headline_reps)
+    shuffle_stats = _evlog_leg_metrics(evlog_dir, headline_reps)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -165,3 +165,67 @@ def test_handler_timeout_evicts_state_no_spark():
     assert all(BANNER not in t for t in out.text_stripped)
     hashes, counts, n = st2.get
     assert n == 3 and max(counts) == 3
+
+
+def test_stateful_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpoint-restart (the streaming sibling of tests/test_resume.py):
+    the stateful strip stream drains batch 1 to a DURABLE parquet sink,
+    the query is STOPPED, more source files arrive, and a NEW query object
+    restarts from the same checkpoint dir.  Asserts (1) per-conversation
+    state survives the restart — turns that arrive after the restart are
+    stripped using counts accumulated BEFORE it; (2) the sink holds each
+    turn exactly once (no replay of the committed batch); (3) a third
+    restart with no new data emits zero rows (idempotent)."""
+    from table_ocr_spark.streaming.stateful import stream_conv_boilerplate
+
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sink")
+    ckpt_dir = str(tmp_path / "ckpt")
+    all_rows = _conv("c", 6)
+
+    def _run_available(tag):
+        stream = (
+            spark.readStream.schema("conv_id string, turn_idx int, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+        )
+        q = (
+            stream_conv_boilerplate(stream)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    # run 1: only the first 2 turns exist -> drains batch 0, terminates
+    _write_turns(spark, os.path.join(src_dir, "f1"), all_rows[:2])
+    _run_available("run1")
+    first = spark.read.parquet(sink_dir).collect()
+    assert sorted(r.turn_idx for r in first) == [0, 1]
+    # below min_turns=3 at batch time -> nothing banned yet
+    assert all(BANNER in r.text_stripped for r in first)
+
+    # run 2: restart from the SAME checkpoint after turns 2-5 arrive
+    time.sleep(1.1)  # file-source ordering is mtime-based
+    _write_turns(spark, os.path.join(src_dir, "f2"), all_rows[2:])
+    _run_available("run2")
+    got = {r.turn_idx: r for r in spark.read.parquet(sink_dir).collect()}
+
+    # exactly-once: 6 distinct turns, none duplicated by the restart
+    assert len(spark.read.parquet(sink_dir).collect()) == 6
+    assert sorted(got) == list(range(6))
+    # state recovery: the banner count from pre-restart turns 0-1 was
+    # restored, so post-restart turns 2-5 cross the cut and are stripped
+    for i in range(2, 6):
+        assert BANNER not in got[i].text_stripped, i
+        assert got[i].n_banned_lines == 1
+    # pre-restart rows remain as committed (not rewritten)
+    assert BANNER in got[0].text_stripped and BANNER in got[1].text_stripped
+
+    # run 3: no new data -> no new rows (checkpoint marks everything done)
+    _run_available("run3")
+    assert len(spark.read.parquet(sink_dir).collect()) == 6
