@@ -1705,20 +1705,36 @@ def _sql_lang_id() -> str:
     )
 
 
-def _sql_minhash_sig() -> str:
-    """8-hash MinHash signature over distinct word 2-gram shingles, as a
-    comma-joined string (matches concat_ws on the Spark side)."""
+def _sql_minhash_sig_list() -> str:
+    """list_value(sig_0, …, sig_7): 8-permutation MinHash over distinct
+    word 2-gram shingles — ONE 32-bit md5 base hash per shingle, then the
+    same affine permutations (a_j·h + b_j) mod p as
+    dedup.minhash_signature_col (constants imported, never re-derived)."""
+    from table_ocr_spark.operators.dedup import MH_PRIME, mh_params
+
     shingles = (
         f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
         f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1]))"
     )
     mins = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + _SQL_HASH60.format(x=f"s || '#{j}'")
-        + "))::VARCHAR"
-        for j in range(8)
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MH_PRIME}))"
+        for a, b in mh_params(8)
     )
-    return f"(SELECT concat_ws(',', {mins}) FROM (SELECT {shingles} AS sh) _s)"
+    return (
+        f"(SELECT list_value({mins}) FROM (SELECT list_transform({shingles}, "
+        "s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs) _s)"
+    )
+
+
+def _sql_minhash_sig() -> str:
+    """The signature as a comma-joined string (matches concat_ws on the
+    Spark side of the minhash_signature contract query)."""
+    # array_to_string skips NULL elements, same as Spark's concat_ws —
+    # a shingle-less doc yields '' in both engines (verified in tests)
+    return (
+        f"(SELECT array_to_string(list_transform(sig, v -> v::VARCHAR), ',') "
+        f"FROM (SELECT {_sql_minhash_sig_list()} AS sig) _cs)"
+    )
 
 
 _SQL_TOKS_L = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -1924,13 +1940,7 @@ def oracle_sql() -> dict[str, str]:
 
     lsh_pairs_sql = (
         f"WITH docs2 AS ({dup_union}), "
-        f"sigs AS (SELECT doc_id, (SELECT list_value("
-        + ", ".join(
-            "list_min(list_transform(sh, s -> " + _SQL_HASH60.format(x=f"s || '#{j}'") + "))"
-            for j in range(8)
-        )
-        + f") FROM (SELECT list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
-        f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1])) AS sh) _s) AS sig FROM docs2), "
+        f"sigs AS (SELECT doc_id, {_sql_minhash_sig_list()} AS sig FROM docs2), "
         f"banded AS ({band_bucket}) "
         f"SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "
         f"FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
@@ -2092,13 +2102,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 2000000 + k AS doc_id, "
             "'the same boilerplate page appears everywhere' AS text "
             "FROM (SELECT unnest(range(60)) AS k)), "
-            f"sigs AS (SELECT doc_id, (SELECT list_value("
-            + ", ".join(
-                "list_min(list_transform(sh, s -> " + _SQL_HASH60.format(x=f"s || '#{j}'") + "))"
-                for j in range(8)
-            )
-            + f") FROM (SELECT list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
-            f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1])) AS sh) _s) AS sig FROM docs2), "
+            f"sigs AS (SELECT doc_id, {_sql_minhash_sig_list()} AS sig FROM docs2), "
             f"banded AS ({band_bucket}), "
             "sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) "
             "SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b "

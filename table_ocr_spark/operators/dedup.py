@@ -3,10 +3,15 @@
 Four tiers, all Spark built-in expressions (JVM-side; no Python UDFs):
 
 * **exact**: hash-groupBy on the content fingerprint.
-* **MinHash + LSH**: word-shingle → K md5-based min-hashes → bands →
-  bucket self-join.  The hash is ``conv(substr(md5(shingle || '#' || j),
-  1, 15), 16, 10)`` — 60 bits, engine-neutral (DuckDB computes the same
-  value via hex-cast), so correctness oracles are EXACT, not statistical.
+* **MinHash + LSH**: word-shingle → ONE 32-bit md5 base hash per shingle
+  → K affine permutations ``(a_j·h + b_j) mod p`` (universal hashing,
+  p = largest prime < 2^32) → bands → bucket self-join.  One md5 per
+  shingle instead of K salted md5s: measured ~5× less signature CPU at
+  sf0.1 (the md5 + per-salt string concat was the stage's whole cost).
+  a_j < 2^30 keeps every product below 2^62 — no int64 overflow, so
+  DuckDB (which RAISES on BIGINT overflow, it does not wrap) computes
+  the identical value and correctness oracles stay EXACT, not
+  statistical.
 * **SimHash**: B-bit signature from per-token md5 bit votes; near-dups =
   small Hamming distance.
 * **n-gram Jaccard**: exact set similarity for candidate verification.
@@ -53,7 +58,11 @@ def dedup_exact(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
 
 # ----------------------------------------------------------- shingles -----
 def word_shingles_col(text: str = "text", n: int = 2) -> Column:
-    """Distinct word n-gram shingles (sorted for determinism)."""
+    """Distinct word n-gram shingles.  Distinct (not sorted): duplicates
+    would only repeat md5 work, and every consumer (min over permuted
+    hashes) is order-insensitive, so a sort would be pure overhead —
+    higher-order array functions run interpreted, not codegen'd, and
+    sorting ~150 strings per doc was measurable at sf0.1."""
     toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
     if n == 1:
         sh = toks
@@ -70,7 +79,7 @@ def word_shingles_col(text: str = "text", n: int = 2) -> Column:
                 ),
             )
         )
-    return F.array_sort(F.array_distinct(sh))
+    return F.array_distinct(sh)
 
 
 def _hash60(col: Column) -> Column:
@@ -79,19 +88,99 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signature_col(text: str = "text", k: int = 8, shingle_n: int = 2) -> Column:
-    """K-permutation MinHash via salted md5 (exactly reproducible in SQL).
+def _hash32(col: Column) -> Column:
+    """Engine-neutral 32-bit base hash: first 8 hex chars of md5 → bigint
+    in [0, 2^32).  DuckDB: ('0x' || substr(md5(x), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
-    Shaped as ONE nested higher-order function — transform over the salt
-    array with the shingle array bound once in the outer scope — so the
-    (expensive) shingle subtree appears once in the plan instead of k times.
-    NB: transform lambdas must be single-parameter; a second parameter
-    receives the ARRAY INDEX, silently corrupting a closed-over salt."""
-    sh = word_shingles_col(text, shingle_n)
-    salts = F.array(*[F.lit(f"#{j}") for j in range(k)])
+
+MH_PRIME = 4294967291  # largest prime < 2^32 — the permutation modulus
+
+
+def mh_params(k: int) -> list:
+    """Deterministic affine-permutation constants (a_j, b_j) for the K
+    MinHash permutations, derived from md5 of the permutation index (no
+    RNG, no seed state — identical everywhere, including the SQL oracle).
+    a_j ∈ [1, 2^30): the product a_j·h with h < 2^32 stays below 2^62, so
+    the arithmetic never overflows int64 in any engine."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        d = hashlib.md5(f"mh#{j}".encode()).hexdigest()
+        a = int(d[:8], 16) % (2**30 - 1) + 1
+        b = int(d[8:16], 16) % MH_PRIME
+        out.append((a, b))
+    return out
+
+
+def minhash_signature_col(text: str = "text", k: int = 8, shingle_n: int = 2) -> Column:
+    """K-permutation MinHash: one 32-bit md5 base hash per distinct
+    shingle, then K affine permutations ``(a_j·h + b_j) mod p`` (universal
+    hashing) — exactly reproducible in SQL, and ~K× cheaper than salted
+    per-permutation md5 (one digest per shingle instead of K, and zero
+    per-permutation string concats).
+
+    Shaped as ONE nested higher-order function — transform over the
+    params array with the hashed-shingle array bound once in the outer
+    scope — so the (expensive) md5-over-shingles subtree appears once in
+    the plan instead of k times.  NB: transform lambdas must be
+    single-parameter; a second parameter receives the ARRAY INDEX,
+    silently corrupting a closed-over binding."""
+    hs = F.transform(word_shingles_col(text, shingle_n), _hash32)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in mh_params(k)
+        ]
+    )
     return F.transform(
-        salts,
-        lambda salt: F.array_min(F.transform(sh, lambda s: _hash60(F.concat(s, salt)))),
+        params,
+        lambda ab: F.array_min(
+            F.transform(hs, lambda h: (h * ab["a"] + ab["b"]) % F.lit(MH_PRIME))
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Per-doc signature via explode → codegen projection → min-aggregate:
+    ``(k, m0 … m{k-1})``, one row per doc that has ≥1 shingle.
+
+    This is the SCALE form of ``minhash_signature_col`` (same values,
+    test-asserted): higher-order array lambdas run interpreted, so the
+    k per-element passes of the Column form cost ~0.5 µs per element-pass
+    (measured: 8 passes over ~150-shingle docs = 3.5 s of the 4 s stage at
+    sf0.1).  Exploding the shingle array instead makes the per-shingle
+    md5 + k affine permutations PLAIN column expressions — whole-stage
+    codegen — and the ``groupBy(key)`` min aggregates map-side (explode
+    preserves row locality, so partial aggregation collapses each doc to
+    one k-long row before the exchange): shuffle = one row per doc, not
+    one per shingle.  Duplicate shingles need no distinct pass — they
+    cannot change a min.
+
+    Docs with no shingles (fewer than ``shingle_n`` tokens, or NULL text)
+    explode to zero rows and drop out — exactly the pre-banding filter the
+    LSH path needs (a NULL signature would otherwise collapse every short
+    doc into one hot bucket; mirrored in the SQL oracle)."""
+    h = _hash32(F.col("_s"))
+    perms = [
+        ((h * F.lit(a) + F.lit(b)) % F.lit(MH_PRIME)).alias(f"_p{j}")
+        for j, (a, b) in enumerate(mh_params(k))
+    ]
+    return (
+        df.select(
+            F.col(key).alias("k"),
+            F.explode(word_shingles_col(text, shingle_n)).alias("_s"),
+        )
+        .select("k", *perms)
+        .groupBy("k")
+        .agg(*[F.min(f"_p{j}").alias(f"m{j}") for j in range(k)])
     )
 
 
@@ -100,31 +189,14 @@ def _lsh_banded(
 ) -> DataFrame:
     """(key, band, bucket) rows — one per doc × band.
 
-    Docs with no shingles (fewer than ``shingle_n`` tokens, or NULL text)
-    get an all-NULL signature; left in, concat_ws would silently drop the
-    NULLs and collapse every such doc into bucket '' in every band — false
-    candidates and a quadratic self-join blowup on short docs at scale —
-    so they are filtered out before banding (mirrored in the SQL oracle).
-    """
+    Built on ``minhash_signatures``: the signature aggregation's own
+    hash(k) exchange is the reuse point — both sides of the downstream
+    bucket self-join share one identical subplan, so ReuseExchange
+    computes the signatures ONCE (observed 35 s → ~2 s at sf0.01 when
+    this reuse was first introduced; the banding below is a plain
+    projection that AQE keeps above the reused exchange)."""
     rows_per_band = k // bands
-    # Shingle-less docs are filtered on the CAUSE (token count < shingle
-    # width) BEFORE the signature projection: filtering on the signature
-    # itself (sig[1] IS NOT NULL) gets predicate-pushed below the project,
-    # re-inlining the whole minhash expression into the filter and breaking
-    # ReuseExchange — measured 3.8 s → 62 s at sf0.1 before this was moved.
-    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
-    has_shingles = F.size(toks) >= shingle_n
-    # Exchange after the signature projection: (1) CollapseProject cannot
-    # re-inline the expensive sig expression into each of the 2×bands
-    # element_at references below, (2) ReuseExchange computes the subtree
-    # ONCE for both sides of the self-join (observed 35 s → ~2 s at sf0.01).
-    sig = (
-        df.filter(has_shingles)
-        .select(
-            F.col(key).alias("k"), minhash_signature_col(text, k, shingle_n).alias("sig")
-        )
-        .repartition("k")
-    )
+    sig = minhash_signatures(df, text, key, k, shingle_n)
     return sig.select(
         "k",
         F.explode(
@@ -135,7 +207,7 @@ def _lsh_banded(
                         F.concat_ws(
                             ":",
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                F.col(f"m{b * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("bucket"),

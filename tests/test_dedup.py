@@ -12,9 +12,19 @@ def _h60(s: str) -> int:
 
 
 def _py_minhash(text: str, k: int = 8) -> list:
+    # independent re-implementation of the affine-permutation MinHash:
+    # one 32-bit md5 base hash per shingle, sig_j = min (a_j*h + b_j) % p
+    p = 4294967291
     toks = text.strip().lower().split()
     sh = set(f"{a} {b}" for a, b in zip(toks, toks[1:]))
-    return [min(_h60(f"{s}#{j}") for s in sh) for j in range(k)]
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+    sig = []
+    for j in range(k):
+        d = hashlib.md5(f"mh#{j}".encode()).hexdigest()
+        a = int(d[:8], 16) % (2**30 - 1) + 1
+        b = int(d[8:16], 16) % p
+        sig.append(min((a * h + b) % p for h in hs))
+    return sig
 
 
 def _py_simhash(text: str, bits: int = 16) -> int:
@@ -63,6 +73,30 @@ def test_minhash_matches_pure_python(spark, docs_df):
     rows = docs_df.select("doc_id", minhash_signature_col("text").alias("sig")).collect()
     for r in rows:
         assert list(r.sig) == _py_minhash(DOCS[r.doc_id][1]), f"doc {r.doc_id}"
+
+
+def test_minhash_signatures_scale_form_equals_column_form(spark, docs_df):
+    """The explode→codegen→min-aggregate scale form produces the exact
+    same signatures as the definitional Column form (and drops the one
+    shingle-less doc instead of emitting NULLs)."""
+    from table_ocr_spark.operators.dedup import minhash_signature_col, minhash_signatures
+
+    with_short = docs_df.union(
+        spark.createDataFrame([(99, "single"), (100, None)], "doc_id long, text string")
+    )
+    col_form = {
+        r.doc_id: list(r.sig)
+        for r in with_short.select(
+            "doc_id", minhash_signature_col("text").alias("sig")
+        ).collect()
+        if r.sig[0] is not None
+    }
+    agg_form = {
+        r.k: [r[f"m{j}"] for j in range(8)]
+        for r in minhash_signatures(with_short).collect()
+    }
+    assert agg_form == col_form
+    assert 99 not in agg_form and 100 not in agg_form
 
 
 def test_simhash_matches_pure_python(spark, docs_df):
