@@ -39,8 +39,30 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_curated(df, cfg, min_quality: float, langs: list[str] | None, strip_ratio: float):
-    """transcripts → curated per-turn records (pure plan builder, no I/O)."""
+def build_curated(
+    df,
+    cfg,
+    min_quality: float,
+    langs: list[str] | None,
+    strip_ratio: float,
+    persist_extracted: bool = True,
+    kept_observation=None,
+):
+    """transcripts → curated per-turn records (pure plan builder, no I/O).
+
+    ``persist_extracted``: the boilerplate strip's linehash plan reads its
+    input TWICE (once to count line hashes, once to apply the banned
+    sets), and here that input is the extraction UDF's output — without a
+    persist the Arrow extraction kernel runs twice (measured at sf0.1:
+    37 s → 17 s with MEMORY_AND_DISK persist on the extracted frame).  At
+    the 100 TB design point the same logic holds per executor: caching
+    the extracted text (≈ input-sized, spills to local disk) is strictly
+    cheaper than a second pass through the Python extraction kernel.
+
+    ``kept_observation``: optional ``pyspark.sql.Observation`` attached to
+    the post-filter, PRE-dedup frame so the caller can report the dedup
+    collapse rate from the same single write action."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from table_ocr_spark.operators.conv_scope import strip_conv_boilerplate
@@ -55,10 +77,12 @@ def build_curated(df, cfg, min_quality: float, langs: list[str] | None, strip_ra
     )
 
     ex = with_extraction(df.select("conv_id", "turn_idx", "text"), cfg)
-    stripped = strip_conv_boilerplate(
-        ex.select("conv_id", "turn_idx", F.col("clean_text").alias("text")),
-        ratio=strip_ratio,
-    ).withColumnRenamed("text_stripped", "text")
+    strip_in = ex.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
+    if persist_extracted:
+        strip_in = strip_in.persist(StorageLevel.MEMORY_AND_DISK)
+    stripped = strip_conv_boilerplate(strip_in, ratio=strip_ratio).withColumnRenamed(
+        "text_stripped", "text"
+    )
 
     # NB: stats/fingerprint are computed on the PRE-redaction text (one
     # select → each expression binds the input column once; a separate
@@ -81,10 +105,21 @@ def build_curated(df, cfg, min_quality: float, langs: list[str] | None, strip_ra
     )
     if langs:
         kept = kept.filter(F.col("lang").isin(langs))
+    if kept_observation is not None:
+        kept = kept.observe(kept_observation, F.count(F.lit(1)).alias("rows_kept"))
+    if persist_extracted:
+        # the dedup semi-join below references `kept` from BOTH branches;
+        # uncached, the whole strip+score UDF chain would execute twice
+        # (measured at sf0.1: 76 s → ~30 s write action with this persist)
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     # exact dedup, representative = min (conv_id, turn_idx) per fingerprint:
     # aggregate ONLY (fingerprint, min-key) — map-side combined, narrow —
-    # then semi-join the representatives back to the full rows
+    # then semi-join the representatives back to the full rows.  (The
+    # window row_number alternative is one pass but puts a whole hot
+    # fingerprint group in one task; this form keeps full rows spread by
+    # (fingerprint, conv, turn) — skew-safe — and the persist makes the
+    # double reference one compute pass.)
     reps = kept.groupBy("fingerprint").agg(
         F.min(F.struct("conv_id", "turn_idx")).alias("_rep")
     )
@@ -129,7 +164,12 @@ def main(argv=None) -> int:
     # Spark still reports the metric once (verified), not doubled.
     obs_in = Observation("curation_in")
     src = src.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
-    curated = build_curated(src, cfg, args.min_quality, langs, args.strip_ratio)
+    # rows_kept (post-filter, pre-dedup) rides the same action → the dedup
+    # collapse rate is reportable without any extra pass
+    obs_kept = Observation("curation_kept")
+    curated = build_curated(
+        src, cfg, args.min_quality, langs, args.strip_ratio, kept_observation=obs_kept
+    )
     # stage metrics ride the single write pass via observe — no extra scan
     obs = Observation("curation")
     # NB: observe() metrics must be DISTINCT-free aggregates; fingerprint
@@ -139,20 +179,30 @@ def main(argv=None) -> int:
         F.count(F.lit(1)).alias("rows_out"),
         F.sum("n_tokens").alias("tokens_out"),
         F.round(F.min("quality"), 6).alias("min_quality_out"),
+        F.count(F.when(F.col("split") == "train", 1)).alias("rows_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("rows_val"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("rows_test"),
     )
+    import time
+
+    t0 = time.time()
     (
         curated.write.mode("overwrite")
         .partitionBy("split")
         .parquet(os.path.join(args.output, "data"))
     )
+    wall_ms = int((time.time() - t0) * 1000)
     summary = {
+        "wall_ms": wall_ms,
         "input": args.input,
         "output": args.output,
         "min_quality": args.min_quality,
         "langs": langs or "all",
         **obs_in.get,
+        **obs_kept.get,
         **obs.get,
     }
+    summary["dedup_collapsed"] = summary["rows_kept"] - summary["rows_out"]
     with open(os.path.join(args.output, "_curation_summary.json"), "w") as f:
         json.dump(summary, f, indent=1, default=str)
     print(json.dumps(summary, default=str))

@@ -67,8 +67,16 @@ def lang_id_col(text: str = "text") -> Column:
     Instead the counts are packed ONCE into an array of structs ordered as
     (count, priority, lang) and argmax is a single array_max — struct
     comparison is lexicographic, so higher count wins, then earlier
-    priority. Each count subtree appears exactly once; ~1 s at sf0.1."""
-    zh = F.length(F.regexp_replace(F.col(text), r"[^一-鿿]", ""))
+    priority. Each count subtree appears exactly once; ~1 s at sf0.1.
+
+    The CJK term is regexp_count('[一-鿿]'), NOT
+    length(regexp_replace('[^一-鿿]', '')): same value (each CJK char is
+    one match of the class), but RegExpReplace instances with different
+    patterns in one projection thrash the compiled-pattern cache per row,
+    and recompiling the CJK char class is expensive — measured 25-38 s
+    per extra co-resident pattern at sf0.1.  RegExpCount is a different
+    expression class with its own state, immune to the clash."""
+    zh = F.regexp_count(F.col(text), F.lit("[一-鿿]"))
     n = len(LANG_PRIORITY)
     structs = F.array(
         *[
@@ -94,9 +102,24 @@ def stopword_ratio_col(text: str = "text") -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
 
 
+# exactly the char set of the oracle's regexp '[A-Za-z0-9\s]' — Java \s is
+# [ \t\n\x0B\f\r], the same set RE2/DuckDB match (\x0B is \v), so translate
+# (regex-free) is value-identical to the regexp_replace form (probe-tested
+# incl. unicode ws like U+3000, which neither engine's \s matches)
+_ALNUM_WS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 \t\n\x0b\f\r"
+)
+
+
 def special_char_ratio_col(text: str = "text") -> Column:
+    """Share of chars outside [A-Za-z0-9\\s].  translate(), not
+    regexp_replace(): two RegExpReplace expressions with different
+    patterns in ONE projection thrash Spark's compiled-pattern cache
+    per row — measured 25-38 s instead of ~3 s at sf0.1 whenever this
+    column shared a projection with the lang-ID CJK regex (see
+    lang_id_col's zh term for the other half of the fix)."""
     total = F.length(F.col(text))
-    specials = F.length(F.regexp_replace(F.col(text), r"[A-Za-z0-9\s]", ""))
+    specials = F.length(F.translate(F.col(text), _ALNUM_WS, ""))
     return F.when(total == 0, F.lit(0.0)).otherwise(
         specials.cast("double") / total.cast("double")
     )
