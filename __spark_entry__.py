@@ -442,6 +442,37 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-line fraction +
+    top-bigram share, both pure array expressions (no shuffle)."""
+    from table_ocr_spark.operators.textstats import (
+        dup_line_frac_col,
+        top_bigram_share_col,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        dup_line_frac_col("text").alias("dup_line_frac"),
+        top_bigram_share_col("text").alias("top_bigram_share"),
+    )
+
+
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: eval = 12-token snippets of every
+    97th doc; training docs sharing ANY 8-token window with a snippet are
+    dropped.  Eval n-gram hashes broadcast; train side never shuffles."""
+    from table_ocr_spark.operators.decontam import decontaminate
+
+    d = _docs(spark, sf_dir)
+    snippet = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12), " "
+    )
+    eval_df = d.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", snippet.alias("text")
+    )
+    return decontaminate(d, eval_df, n=8).select("doc_id")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 (explode → map-side-combined count →
     TakeOrdered) — the wordcount primitive of tokenizer training."""
@@ -1651,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
+        "repetition_stats": q_repetition_stats,                      # NEW r5: Gopher-style repetition signals
+        "decontaminate_eval": q_decontaminate_eval,                  # NEW r5: train/eval n-gram decontamination
     }
 
 
@@ -2216,6 +2249,42 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'train' WHEN "
             f"{_SQL_HASH60.format(x=fingerprint)} % 1000 < 950 THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "repetition_stats": (
+            # lines: trimmed, non-empty; bigrams: range(1, len) is
+            # stop-EXCLUSIVE in DuckDB, so len<2 yields no windows — the
+            # same guard Spark's sequence() needs a CASE for
+            "WITH ls AS (SELECT doc_id, list_filter(list_transform("
+            "string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines "
+            "FROM documents), "
+            f"bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            f"i -> toks[i] || ' ' || toks[i+1])) AS b FROM "
+            f"(SELECT doc_id, {_SQL_TOKS_L} AS toks FROM documents) _t), "
+            "tops AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM "
+            "(SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CASE WHEN len(l.lines) <= 0 THEN 0.0 ELSE "
+            "round(1.0 - len(list_distinct(l.lines))::DOUBLE / len(l.lines), 6) END "
+            "AS dup_line_frac, "
+            "coalesce(round(t.top::DOUBLE / t.tot, 6), 0.0) AS top_bigram_share "
+            "FROM documents d JOIN ls l USING (doc_id) LEFT JOIN tops t USING (doc_id)"
+        ),
+        "decontaminate_eval": (
+            # 8-gram windows: i in [1, len-7] ⇔ range(1, len-6) (exclusive)
+            "WITH ev AS (SELECT array_to_string(list_slice("
+            "string_split_regex(trim(text), '\\s+'), 1, 12), ' ') AS text "
+            "FROM documents WHERE doc_id % 97 = 0), "
+            f"evh AS (SELECT DISTINCT {_SQL_HASH60.format(x='w')} AS h FROM "
+            f"(SELECT unnest(list_transform(range(1, len(toks) - 6), i -> "
+            + " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(8))
+            + f")) AS w FROM (SELECT {_SQL_TOKS_L} AS toks FROM ev) _e) _w), "
+            f"trw AS (SELECT doc_id, {_SQL_HASH60.format(x='w')} AS h FROM "
+            f"(SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), i -> "
+            + " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(8))
+            + f")) AS w FROM (SELECT doc_id, {_SQL_TOKS_L} AS toks FROM documents) _t) _x), "
+            "bad AS (SELECT DISTINCT trw.doc_id FROM trw JOIN evh USING (h)) "
+            "SELECT doc_id FROM documents d WHERE NOT EXISTS "
+            "(SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)"
         ),
         "events_distinct_users_approx": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_users, "

@@ -223,6 +223,61 @@ def vocabulary_topk(df: DataFrame, text: str = "text", k: int = 100) -> DataFram
     )
 
 
+def dup_line_frac_col(text: str = "text") -> Column:
+    """Gopher-style repetition signal: fraction of non-empty trimmed lines
+    that are repeats of an earlier line (1 - distinct/total; 0 for docs
+    with no lines).  Pure array expressions — no shuffle, no Python."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text), "\n"), F.trim),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n.cast("double"),
+            6,
+        )
+    )
+
+
+def top_bigram_share_col(text: str = "text") -> Column:
+    """Gopher-style repetition signal: share of all word 2-grams taken by
+    the single most frequent 2-gram (0 for docs with <2 tokens).
+
+    Per-row mode without a shuffle: sort the bigram array, then one
+    aggregate() pass tracks the longest equal run — the mode's count in a
+    sorted array.  ~150 elements per doc keeps the interpreted HOF cost
+    negligible off the hot path."""
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+            ),
+        )
+    )
+    srt = F.array_sort(bigrams)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    best = F.aggregate(
+        srt,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n = F.size(bigrams)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(best.cast("double") / n.cast("double"), 6)
+    )
+
+
 def with_textstats(df: DataFrame, text: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count_col(text))

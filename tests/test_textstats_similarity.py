@@ -152,3 +152,54 @@ def test_dataset_split_deterministic_and_distributed(spark):
     )
     got = {r.s for r in dup.select(dataset_split_col(fingerprint_col("text")).alias("s")).collect()}
     assert len(got) == 1
+
+
+def test_repetition_stats(spark):
+    from table_ocr_spark.operators.textstats import dup_line_frac_col, top_bigram_share_col
+
+    df = spark.createDataFrame(
+        [
+            (0, "header\nbody one\nheader\nbody two\nheader"),  # 5 lines, 3 distinct
+            (1, "a b a b a b"),  # bigrams: ab ba ab ba ab → 'a b' x3 of 5
+            (2, "all unique lines\nno repeats here"),
+            (3, ""),
+            (4, "one"),  # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dl, r.tb)
+        for r in df.select(
+            "doc_id",
+            dup_line_frac_col("text").alias("dl"),
+            top_bigram_share_col("text").alias("tb"),
+        ).collect()
+    }
+    assert got[0][0] == pytest.approx(1 - 3 / 5)
+    assert got[1][1] == pytest.approx(3 / 5)
+    assert got[2][0] == 0.0
+    assert got[3] == (0.0, 0.0)
+    assert got[4][1] == 0.0
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from table_ocr_spark.operators.decontam import contaminated_keys, decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # shares 4-gram with eval
+            (1, "one two three four five six seven"),     # clean
+            (2, "ALPHA BETA GAMMA DELTA nothing else"),   # case-insensitive match
+            (3, "alpha beta gamma"),                      # < n tokens: never contaminated
+            (4, None),                                    # NULL text survives
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "intro words then alpha beta gamma delta closing")],
+        "doc_id long, text string",
+    )
+    bad = {r.k for r in contaminated_keys(train, eval_df, n=4).collect()}
+    assert bad == {0, 2}
+    kept = {r.doc_id for r in decontaminate(train, eval_df, n=4).collect()}
+    assert kept == {1, 3, 4}
