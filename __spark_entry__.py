@@ -473,6 +473,20 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, eval_df, n=8).select("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: hash-bucket, then pack docs into
+    2048-token training sequences within each bucket (one shuffle on the
+    bucket; running-sum window per bucket — never a global order)."""
+    from table_ocr_spark.operators.textstats import pack_sequences, token_count_col
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count_col("text").alias("n_tokens")
+    )
+    return pack_sequences(d, budget=2048, n_buckets=16).select(
+        "doc_id", "n_tokens", "pack_bucket", "seq_id", "seq_offset"
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 (explode → map-side-combined count →
     TakeOrdered) — the wordcount primitive of tokenizer training."""
@@ -1684,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "repetition_stats": q_repetition_stats,                      # NEW r5: Gopher-style repetition signals
         "decontaminate_eval": q_decontaminate_eval,                  # NEW r5: train/eval n-gram decontamination
+        "pack_sequences": q_pack_sequences,                          # NEW r5: token-budget sequence packing
     }
 
 
@@ -2285,6 +2300,17 @@ def oracle_sql() -> dict[str, str]:
             "bad AS (SELECT DISTINCT trw.doc_id FROM trw JOIN evh USING (h)) "
             "SELECT doc_id FROM documents d WHERE NOT EXISTS "
             "(SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)"
+        ),
+        "pack_sequences": (
+            # same md5→60-bit bucket + per-bucket running sum window
+            f"WITH t AS (SELECT doc_id, {n_tok} AS n_tokens, "
+            f"({_SQL_HASH60.format(x='doc_id::VARCHAR')}) % 16 AS pack_bucket "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens, pack_bucket, "
+            "((cum - n_tokens) // 2048)::BIGINT AS seq_id, "
+            "((cum - n_tokens) % 2048)::BIGINT AS seq_offset FROM "
+            "(SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket "
+            "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)"
         ),
         "events_distinct_users_approx": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_users, "

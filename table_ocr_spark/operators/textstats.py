@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Marker-token sets per language (deterministic heuristic; the oracle runs
 # the same sets — this is a pinned spec, not a linguistics claim).
@@ -285,6 +286,48 @@ def with_textstats(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("stopword_ratio", stopword_ratio_col(text))
         .withColumn("quality_score", quality_score_col(text))
         .withColumn("fingerprint", fingerprint_col(text))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    key: str = "doc_id",
+    budget: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign every doc a training-sequence slot: ``(pack_bucket, seq_id,
+    seq_offset)`` — the "concatenate the stream, cut at every ``budget``
+    tokens" packing used to build fixed-context training batches.
+
+    Scale shape: a single global order would serialize into one window
+    partition, so docs are first hash-bucketed (deterministic, RNG-free —
+    same md5→60-bit family as ``dataset_split_col``) and packed WITHIN
+    each bucket in key order: one shuffle on ``pack_bucket``, each bucket
+    an independent running sum (the standard shard-then-pack layout; a
+    sequence never spans buckets).  A doc belongs to the sequence where
+    its first token lands; docs longer than ``budget`` still get exactly
+    one slot (downstream chunking splits them).  Deterministic ⇒ the
+    DuckDB oracle reproduces it bit-for-bit with the same window spec."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_buckets),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("pack_bucket", bucket).withColumn(
+        "_cum", F.sum(F.col(token_col).cast("long")).over(w)
+    )
+    start = F.col("_cum") - F.col(token_col)
+    return (
+        out.withColumn("seq_id", F.floor(start / F.lit(budget)).cast("long"))
+        .withColumn("seq_offset", (start % F.lit(budget)).cast("long"))
+        .drop("_cum")
     )
 
 

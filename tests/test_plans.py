@@ -314,3 +314,16 @@ def test_setop_plans_are_hash_joins(spark):
         assert "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>" in plan
         # the priority predicate reaches the parquet scan
         assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_pack_sequences_single_bucket_shuffle_no_global_sort(spark):
+    """Sequence packing must shuffle ONCE on the hash bucket and window
+    within it — a global-order window (single partition) would serialize
+    the whole corpus through one task at scale."""
+    import __spark_entry__ as e
+
+    df = e.queries()["pack_sequences"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan

@@ -203,3 +203,29 @@ def test_decontaminate_ngram_overlap(spark):
     assert bad == {0, 2}
     kept = {r.doc_id for r in decontaminate(train, eval_df, n=4).collect()}
     assert kept == {1, 3, 4}
+
+
+def test_pack_sequences(spark):
+    from table_ocr_spark.operators.textstats import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 600) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    got = pack_sequences(df, budget=1000, n_buckets=1).orderBy("doc_id").collect()
+    # one bucket, 600-token docs into 1000-token bins: starts at 0,600,1200,…
+    for i, r in enumerate(got):
+        assert r.pack_bucket == 0
+        assert r.seq_id == (600 * i) // 1000
+        assert r.seq_offset == (600 * i) % 1000
+    # bucketed variant: every doc gets exactly one slot, per-bucket seq_ids dense from 0
+    many = pack_sequences(df, budget=1000, n_buckets=4).collect()
+    assert len(many) == 10
+    by_bucket = {}
+    for r in many:
+        by_bucket.setdefault(r.pack_bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.seq_id == cum // 1000 and r.seq_offset == cum % 1000
+            cum += 600
