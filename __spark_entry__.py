@@ -487,6 +487,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing stage: deterministic subsample of documents so language
+    shares hit fixed targets — one narrow count, a few-row broadcast,
+    pushed-down hash filter; full rows never shuffle."""
+    from table_ocr_spark.operators.mixture import rebalance_mixture
+    from table_ocr_spark.operators.textstats import lang_id_col
+
+    d = _docs(spark, sf_dir).select("doc_id", lang_id_col("text").alias("lang"))
+    targets = {"en": 0.6, "de": 0.2, "fr": 0.1, "es": 0.1}
+    return rebalance_mixture(d, targets, group="lang", key="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 (explode → map-side-combined count →
     TakeOrdered) — the wordcount primitive of tokenizer training."""
@@ -1699,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,                      # NEW r5: Gopher-style repetition signals
         "decontaminate_eval": q_decontaminate_eval,                  # NEW r5: train/eval n-gram decontamination
         "pack_sequences": q_pack_sequences,                          # NEW r5: token-budget sequence packing
+        "rebalance_mixture": q_rebalance_mixture,                    # NEW r5: deterministic mixture rebalancing
     }
 
 
@@ -2300,6 +2315,19 @@ def oracle_sql() -> dict[str, str]:
             "bad AS (SELECT DISTINCT trw.doc_id FROM trw JOIN evh USING (h)) "
             "SELECT doc_id FROM documents d WHERE NOT EXISTS "
             "(SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)"
+        ),
+        "rebalance_mixture": (
+            # integer-exact mixture math: n_out = min(count*PPM//share),
+            # thr = n_out*share//count, keep iff md5-60bit(doc_id) % PPM < thr
+            f"WITH d AS (SELECT doc_id, {_sql_lang_id()} AS lang FROM documents), "
+            "tgt (lang, share_ppm) AS (VALUES ('en', 600000), ('de', 200000), "
+            "('fr', 100000), ('es', 100000)), "
+            "c AS (SELECT lang, count(*) AS gc FROM d GROUP BY lang), "
+            "j AS (SELECT c.lang, gc, share_ppm FROM c JOIN tgt USING (lang)), "
+            "n AS (SELECT min(gc * 1000000 // share_ppm) AS n_out FROM j), "
+            "thr AS (SELECT lang, (n_out * share_ppm // gc) AS thr_ppm FROM j, n) "
+            "SELECT d.doc_id, d.lang FROM d JOIN thr USING (lang) "
+            f"WHERE ({_SQL_HASH60.format(x='doc_id::VARCHAR')}) % 1000000 < thr_ppm"
         ),
         "pack_sequences": (
             # same md5→60-bit bucket + per-bucket running sum window

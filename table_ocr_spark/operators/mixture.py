@@ -1,0 +1,79 @@
+"""Mixture rebalancing — deterministic subsampling to target group shares.
+
+The data-mixing stage of a training-data pipeline: given target
+proportions per group (language, domain, source), keep the LARGEST
+feasible subset whose group shares match the targets without
+oversampling any group (every rate ≤ 1).  Feasible output size is
+
+    n_out = min over targeted groups of  floor(count_g · PPM / share_g)
+
+and each group keeps rows at rate thr_g/PPM where
+
+    thr_g = floor(n_out · share_g / count_g)        (in PPM)
+
+Rows are kept iff ``hash60(key) % PPM < thr_g`` — the same RNG-free
+md5→60-bit family as ``dataset_split_col``, so the sample is stable
+under repartitioning, resumable, and EXACTLY reproducible by the DuckDB
+oracle (all arithmetic is int64: counts ≤ 10^12 rows × PPM = 10^18 <
+2^63).
+
+Scale shape: one narrow ``groupBy(group).count()`` (map-side combined),
+a few-row broadcast back to the fact table, and a pushed-down filter —
+the full rows never shuffle.  Groups absent from ``targets`` are
+dropped (they have share 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def _hash60_str(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def mixture_rates(df: DataFrame, targets: dict, group: str = "lang") -> DataFrame:
+    """(group, group_count, share_ppm, thr_ppm) — one row per targeted
+    group.  Small by construction (one row per distinct group value);
+    safe to broadcast."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, int(round(s * PPM))) for g, s in targets.items()],
+        f"{group} string, share_ppm long",
+    )
+    counts = df.groupBy(group).agg(F.count(F.lit(1)).alias("group_count"))
+    j = counts.join(F.broadcast(tgt), group)
+    # feasible output size: the binding group is the one with the least
+    # headroom relative to its target share
+    n_out = j.select(
+        F.min(F.floor(F.col("group_count") * F.lit(PPM) / F.col("share_ppm"))).alias(
+            "n_out"
+        )
+    )
+    return (
+        j.crossJoin(F.broadcast(n_out))
+        .withColumn(
+            "thr_ppm",
+            F.floor(F.col("n_out") * F.col("share_ppm") / F.col("group_count")).cast(
+                "long"
+            ),
+        )
+        .select(group, "group_count", "share_ppm", "thr_ppm")
+    )
+
+
+def rebalance_mixture(
+    df: DataFrame, targets: dict, group: str = "lang", key: str = "doc_id"
+) -> DataFrame:
+    """Rows of ``df`` subsampled so group shares match ``targets`` (values
+    sum to ≤ 1).  Deterministic in ``key``; untargeted groups drop."""
+    rates = mixture_rates(df, targets, group)
+    keep = _hash60_str(F.col(key)) % PPM < F.col("thr_ppm")
+    return (
+        df.join(F.broadcast(rates.select(group, "thr_ppm")), group)
+        .filter(keep)
+        .drop("thr_ppm")
+    )

@@ -229,3 +229,41 @@ def test_pack_sequences(spark):
         for r in rows:
             assert r.seq_id == cum // 1000 and r.seq_offset == cum % 1000
             cum += 600
+
+
+def test_rebalance_mixture(spark):
+    import hashlib
+
+    from table_ocr_spark.operators.mixture import PPM, rebalance_mixture
+
+    # 800 en, 150 de, 50 fr; targets 50/30/20 → binding group is fr:
+    # n_out = 50/0.2 = 250 → keep ~125 en (of 800), ~75 de (of 150), ~50 fr
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(1000 + i, "de") for i in range(150)]
+        + [(2000 + i, "fr") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    targets = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    got = rebalance_mixture(df, targets, group="lang", key="doc_id").collect()
+
+    # exact re-computation (independent): thresholds from integer arithmetic
+    def h60(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    counts = {"en": 800, "de": 150, "fr": 50}
+    shares = {g: int(round(s * PPM)) for g, s in targets.items()}
+    n_out = min(c * PPM // shares[g] for g, c in counts.items())
+    thr = {g: n_out * shares[g] // counts[g] for g in counts}
+    expect = {(i, g) for i, g in rows if h60(i) % PPM < thr[g]}
+    assert {(r.doc_id, r.lang) for r in got} == expect
+    # the binding group (fr) keeps everything; others are subsampled
+    by_lang = {}
+    for r in got:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    assert by_lang["fr"] == 50
+    assert by_lang["en"] < 800 and by_lang["de"] < 150
+    # untargeted groups drop entirely
+    extra = df.union(spark.createDataFrame([(9999, "zz")], "doc_id long, lang string"))
+    got2 = rebalance_mixture(extra, targets).collect()
+    assert all(r.lang != "zz" for r in got2)
