@@ -47,6 +47,8 @@ def build_curated(
     strip_ratio: float,
     persist_extracted: bool = True,
     kept_observation=None,
+    eval_df=None,
+    decontam_n: int = 8,
 ):
     """transcripts → curated per-turn records (pure plan builder, no I/O).
 
@@ -130,7 +132,32 @@ def build_curated(
         & (kept.turn_idx == F.col("_rep.turn_idx")),
         "left_semi",
     )
-    return deduped.withColumn("split", dataset_split_col("fingerprint"))
+    deduped = deduped.withColumn("split", dataset_split_col("fingerprint"))
+    if eval_df is not None:
+        # benchmark-leak guard: drop any curated row sharing an n-token
+        # window with the eval set.  Eval n-gram hashes broadcast; the
+        # curated side never shuffles for this (operators/decontam.py).
+        # Contaminated keys derive from the CACHED `kept` frame (same
+        # text column; dedup only removes rows, so a key that dedup
+        # would drop anyway is harmless in the anti-join) — deriving
+        # them from `deduped` would re-reference the semi-join subtree
+        # from two branches of one action.
+        from table_ocr_spark.operators.decontam import contaminated_keys
+
+        with_key = kept.withColumn(
+            "_k", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+        )
+        bad = contaminated_keys(
+            with_key, eval_df, text="text", key="_k", n=decontam_n
+        ).withColumnRenamed("k", "_k")
+        deduped = (
+            deduped.withColumn(
+                "_k", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+            )
+            .join(bad, "_k", "left_anti")
+            .drop("_k")
+        )
+    return deduped
 
 
 def main(argv=None) -> int:
@@ -141,6 +168,13 @@ def main(argv=None) -> int:
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--langs", default="", help="comma allow-list, e.g. en,de ('' = all)")
     ap.add_argument("--strip-ratio", type=float, default=0.6)
+    ap.add_argument(
+        "--decontam-input",
+        default="",
+        help="parquet dir of eval docs (column `text`); curated rows sharing "
+        "an n-token window with any eval doc are dropped",
+    )
+    ap.add_argument("--decontam-ngram", type=int, default=8)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -167,8 +201,18 @@ def main(argv=None) -> int:
     # rows_kept (post-filter, pre-dedup) rides the same action → the dedup
     # collapse rate is reportable without any extra pass
     obs_kept = Observation("curation_kept")
+    eval_df = (
+        spark.read.parquet(args.decontam_input) if args.decontam_input else None
+    )
     curated = build_curated(
-        src, cfg, args.min_quality, langs, args.strip_ratio, kept_observation=obs_kept
+        src,
+        cfg,
+        args.min_quality,
+        langs,
+        args.strip_ratio,
+        kept_observation=obs_kept,
+        eval_df=eval_df,
+        decontam_n=args.decontam_ngram,
     )
     # stage metrics ride the single write pass via observe — no extra scan
     obs = Observation("curation")

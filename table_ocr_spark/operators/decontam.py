@@ -47,9 +47,12 @@ def contaminated_keys(
 
     The eval hash set is deduplicated BEFORE the broadcast (distinct on a
     single long column) — the build side is bounded by eval token count,
-    not eval row count × window count."""
+    not eval row count × window count.  The eval frame only needs the
+    ``text`` column (no key required)."""
     eval_hashes = (
-        ngram_hashes(eval_df, text, key, n).select("h").distinct()
+        eval_df.select(F.explode(word_shingles_col(text, n)).alias("_w"))
+        .select(_hash60(F.col("_w")).alias("h"))
+        .distinct()
     )
     return (
         ngram_hashes(train, text, key, n)

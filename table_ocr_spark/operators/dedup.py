@@ -62,23 +62,29 @@ def word_shingles_col(text: str = "text", n: int = 2) -> Column:
     would only repeat md5 work, and every consumer (min over permuted
     hashes) is order-insensitive, so a sort would be pure overhead —
     higher-order array functions run interpreted, not codegen'd, and
-    sorting ~150 strings per doc was measurable at sf0.1."""
+    sorting ~150 strings per doc was measurable at sf0.1.
+
+    The token array is LET-BOUND via a one-element transform() before the
+    window loop: interpreted lambda evaluation re-executes a plain
+    subtree for EVERY reference, so referencing ``split(text)`` n times
+    per window made the expression O(tokens² · n) per row — a single
+    20k-token row ground for minutes.  As a lambda variable the split
+    evaluates once per row and every window reads the materialized
+    array (values are unchanged; windows are array_join(slice(...)))."""
     toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
     if n == 1:
-        sh = toks
-    else:
-        # sequence over start positions; element_at is 1-based.
+        return F.array_distinct(toks)
+
+    def _windows(tk: Column) -> Column:
+        # sequence over start positions; slice is 1-based.
         # NB sequence(1, 0) yields a DESCENDING [1, 0] — short docs must
         # short-circuit to an empty array, not an empty sequence.
-        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-                ),
-            )
+        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        return F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(tk, i, n), " "))
         )
+
+    sh = F.element_at(F.transform(F.array(toks), _windows), 1)
     return F.array_distinct(sh)
 
 

@@ -109,3 +109,44 @@ def test_curate_lang_filter(spark, tmp_path, monkeypatch):
     df = spark.read.parquet(str(tmp_path / "out" / "data"))
     assert {r.lang for r in df.select("lang").distinct().collect()} == {"en"}
     assert df.count() == 1
+
+
+def test_curate_decontaminates_eval_overlap(spark, tmp_path_factory, monkeypatch_module):
+    """--decontam-input drops curated rows sharing an 8-token window with
+    the eval set; everything else is untouched."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+
+    import jobs.curate as C
+
+    base = tmp_path_factory.mktemp("curate_dc")
+    pdf = synth.gen_pandas(10, seed=3, max_long=40)
+    write_transcripts_parquet(pdf, str(base / "in"))
+
+    monkeypatch_module.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch_module.setattr(spark, "stop", lambda: None)
+
+    # baseline run (no decontamination)
+    rc = C.main(["--input", str(base / "in"), "--output", str(base / "out0"),
+                 "--min-quality", "0.25"])
+    assert rc == 0
+    out0 = spark.read.parquet(str(base / "out0" / "data"))
+    # eval set = a 10-token window of one curated row's CLEANED text
+    victim = out0.orderBy(F.length("text").desc()).first()
+    snippet = " ".join(victim.text.split()[:10])
+    assert len(snippet.split()) == 10
+    spark.createDataFrame([(snippet,)], "text string").write.mode("overwrite").parquet(
+        str(base / "eval")
+    )
+
+    rc = C.main(["--input", str(base / "in"), "--output", str(base / "out1"),
+                 "--min-quality", "0.25", "--decontam-input", str(base / "eval")])
+    assert rc == 0
+    out1 = spark.read.parquet(str(base / "out1" / "data"))
+    keys0 = {(r.conv_id, r.turn_idx) for r in out0.select("conv_id", "turn_idx").collect()}
+    keys1 = {(r.conv_id, r.turn_idx) for r in out1.select("conv_id", "turn_idx").collect()}
+    dropped = keys0 - keys1
+    assert (victim.conv_id, victim.turn_idx) in dropped
+    # only rows overlapping the snippet drop
+    assert keys1 < keys0 and len(dropped) < len(keys0) / 2
