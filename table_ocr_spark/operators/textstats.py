@@ -247,35 +247,44 @@ def top_bigram_share_col(text: str = "text") -> Column:
 
     Per-row mode without a shuffle: sort the bigram array, then one
     aggregate() pass tracks the longest equal run — the mode's count in a
-    sorted array.  ~150 elements per doc keeps the interpreted HOF cost
-    negligible off the hot path."""
+    sorted array.  The token and bigram arrays are LET-BOUND (one-element
+    transform) so each evaluates once per row — interpreted lambdas
+    re-execute plain subtrees on every reference, and windows built with
+    per-element element_at(toks, …) are O(tokens²) on long docs (the same
+    pathology fixed in dedup.word_shingles_col)."""
     toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
-            ),
+
+    def _bigrams(tk: Column) -> Column:
+        return F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.array_join(F.slice(tk, i, 2), " "),
+            )
         )
-    )
-    srt = F.array_sort(bigrams)
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
-    best = F.aggregate(
-        srt,
-        acc0,
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run(acc, x).alias("run"),
-            F.greatest(acc["best"], run(acc, x)).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    n = F.size(bigrams)
-    return F.when(n <= 0, F.lit(0.0)).otherwise(
-        F.round(best.cast("double") / n.cast("double"), 6)
+
+    def _share(bg: Column) -> Column:
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+        run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+        best = F.aggregate(
+            F.array_sort(bg),
+            acc0,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run(acc, x).alias("run"),
+                F.greatest(acc["best"], run(acc, x)).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        n = F.size(bg)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.round(best.cast("double") / n.cast("double"), 6)
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.element_at(F.transform(F.array(toks), _bigrams), 1)), _share),
+        1,
     )
 
 
