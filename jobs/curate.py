@@ -175,6 +175,15 @@ def main(argv=None) -> int:
         "an n-token window with any eval doc are dropped",
     )
     ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument(
+        "--snapshot",
+        action="store_true",
+        help="commit output through the snapshot log (sources/snapshots.py, "
+        "the Iceberg-analog): each run lands as ONE atomic, addressable "
+        "snapshot with the curation metrics inside the commit manifest — "
+        "repeated runs accumulate a time-travelable history instead of "
+        "overwriting",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -230,23 +239,42 @@ def main(argv=None) -> int:
     import time
 
     t0 = time.time()
-    (
-        curated.write.mode("overwrite")
-        .partitionBy("split")
-        .parquet(os.path.join(args.output, "data"))
-    )
-    wall_ms = int((time.time() - t0) * 1000)
-    summary = {
-        "wall_ms": wall_ms,
-        "input": args.input,
-        "output": args.output,
-        "min_quality": args.min_quality,
-        "langs": langs or "all",
-        **obs_in.get,
-        **obs_kept.get,
-        **obs.get,
-    }
-    summary["dedup_collapsed"] = summary["rows_kept"] - summary["rows_out"]
+
+    def _metrics() -> dict:
+        # only valid after the write action ran (observe() semantics)
+        m = {
+            "input": args.input,
+            "output": args.output,
+            "min_quality": args.min_quality,
+            "langs": langs or "all",
+            **obs_in.get,
+            **obs_kept.get,
+            **obs.get,
+        }
+        m["dedup_collapsed"] = m["rows_kept"] - m["rows_out"]
+        return m
+
+    if args.snapshot:
+        # snapshot mode: the run commits atomically — a reader either sees
+        # the whole run or none of it, and every prior run stays
+        # addressable (time travel / rollback).  `split` rides as a data
+        # column; split-selective readers rely on parquet row-group stats
+        # (an extra clustering shuffle to regain file-level pruning is a
+        # cost the atomicity does not require).
+        from table_ocr_spark.sources.snapshots import SnapshotTable
+
+        table = SnapshotTable(os.path.join(args.output, "table"))
+        seq = table.append(curated, summary_fn=_metrics)
+        summary = dict(table.manifest(seq)["summary"])
+        summary["snapshot_seq"] = seq
+    else:
+        (
+            curated.write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(os.path.join(args.output, "data"))
+        )
+        summary = _metrics()
+    summary["wall_ms"] = int((time.time() - t0) * 1000)
     with open(os.path.join(args.output, "_curation_summary.json"), "w") as f:
         json.dump(summary, f, indent=1, default=str)
     print(json.dumps(summary, default=str))

@@ -1,0 +1,423 @@
+"""Snapshot commit log — Iceberg-analog table format over plain parquet.
+
+The production design commits extraction output to Iceberg
+(``df.writeTo("cat.db.extracted")``, SURVEY.md §2.1/§4.1), whose real
+value at 100 TB is not the file format but the METADATA protocol:
+
+* **atomic commits** — a snapshot becomes visible in one metadata
+  operation, never as a half-written directory;
+* **snapshot isolation** — a reader plans against an immutable file
+  list, so a concurrent commit can never add/remove files mid-job;
+* **time travel / rollback** — every commit is retained and addressable;
+* **optimistic concurrency** — two writers race on the metadata pointer,
+  not on data files; the loser rebases (append) or aborts (overwrite);
+* **scan pruning from file stats** — per-file min/max lets the planner
+  drop whole files before the scan starts (Iceberg manifest pruning).
+
+This sandbox has no Iceberg runtime jar (SURVEY.md §6), so this module
+implements that protocol over a directory of immutable parquet files and
+JSON manifests — the same emulation strategy SURVEY.md §7 hard-point 3
+prescribes for resume semantics.  The reference has no table format at
+all (its "sink" is one JSON response per image, api/main.py:320-322,
+plus per-run artifact dirs, ttocr/utils/loggers.py:141-182); this is
+axis-B surface the Spark re-design needs and the reference never did.
+
+Layout of a snapshot table at ``root``::
+
+    root/data/<uuid>.parquet        -- immutable, write-once data files
+    root/_meta/snap-%08d.json       -- one manifest per snapshot (the log)
+    root/_staging/...               -- Spark write area, renamed into data/
+
+A manifest lists the snapshot's live files with row counts and per-column
+min/max harvested from the parquet FOOTERS at commit time (metadata-only
+read — no data pass).  The current table state is simply the
+highest-numbered manifest; a crashed writer leaves only ``*.tmp`` files,
+which readers ignore, so there is no window in which a reader can observe
+a partial commit.
+
+Atomicity without a rename-overwrite race: the manifest is staged as a
+tmp file and published with ``os.link`` (hard link), which — unlike
+``os.rename`` — FAILS with EEXIST if the sequence number is already
+taken.  That failure IS the optimistic-concurrency signal: an appending
+writer rebases its new files onto the manifest that beat it and retries;
+an overwriting writer aborts with ``CommitConflict`` (its base changed
+under it — Iceberg's validate-from-snapshot behaviour).
+
+Scale notes (100 TB design review):
+
+* Manifests are O(files), not O(rows): at 512 MB target file size,
+  100 TB ≈ 200k entries ≈ a few MB of JSON — driver-trivial.  Real
+  Iceberg splits this into avro manifest *files* plus a manifest *list*
+  for O(1) partial rewrites; the single-JSON analog keeps the same read
+  semantics and is the documented simplification.
+* A commit is one footer scan of the NEW files plus one metadata link —
+  cost independent of table size.
+* Reads hand Spark an explicit immutable file list; pushdown, column
+  pruning and whole-stage codegen are unaffected (same parquet scan
+  node), while ``prune=`` drops whole files driver-side first — the
+  min/max cut that makes a ``ts``-range query touch 1/1000th of the
+  files before any task launches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_SNAP_FMT = "snap-%08d.json"
+_SNAP_PREFIX = "snap-"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed onto the same parent snapshot first."""
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to root
+    rows: int
+    bytes: int
+    stats: Dict[str, List[Any]]  # col -> [min, max], JSON-safe scalars
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "rows": self.rows, "bytes": self.bytes, "stats": self.stats}
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d["rows"], d["bytes"], d.get("stats", {}))
+
+
+def _json_safe(v):
+    """Footer stat -> JSON-storable scalar with order-preserving encoding."""
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # ISO-8601 sorts like the timestamp it encodes
+    if isinstance(v, float) or isinstance(v, int) or isinstance(v, str) or v is None:
+        return v
+    return str(v)
+
+
+def _footer_stats(abs_path: str) -> Tuple[int, Dict[str, List[Any]]]:
+    """(row_count, {col: [min, max]}) from parquet footer metadata only."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: Dict[str, Any] = {}
+    maxs: Dict[str, Any] = {}
+    dropped: set = set()  # any stat-less row group poisons the column
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:  # nested leaves: top-level only
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            if name not in mins:
+                mins[name], maxs[name] = st.min, st.max
+            else:
+                mins[name] = min(mins[name], st.min)
+                maxs[name] = max(maxs[name], st.max)
+    stats = {k: [_json_safe(mins[k]), _json_safe(maxs[k])] for k in mins}
+    return md.num_rows, stats
+
+
+class SnapshotTable:
+    """Handle on a snapshot-log table rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "_meta")
+        self.staging_dir = os.path.join(root, "_staging")
+
+    # ---------------------------------------------------------------- metadata
+
+    def _snap_path(self, seq: int) -> str:
+        return os.path.join(self.meta_dir, _SNAP_FMT % seq)
+
+    def current_seq(self) -> Optional[int]:
+        """Highest published snapshot number (None for an empty table)."""
+        if not os.path.isdir(self.meta_dir):
+            return None
+        seqs = [
+            int(f[len(_SNAP_PREFIX) : -5])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith(_SNAP_PREFIX) and f.endswith(".json")
+        ]
+        return max(seqs) if seqs else None
+
+    def manifest(self, seq: Optional[int] = None) -> dict:
+        seq = self.current_seq() if seq is None else seq
+        if seq is None:
+            raise ValueError(f"snapshot table at {self.root} has no snapshots")
+        p = self._snap_path(seq)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"snapshot {seq} not found at {self.root} (expired or never committed)"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def history(self) -> List[dict]:
+        """Commit log, oldest first: seq/operation/summary/file+row counts."""
+        cur = self.current_seq()
+        if cur is None:
+            return []
+        out = []
+        for seq in range(1, cur + 1):
+            try:
+                m = self.manifest(seq)
+            except ValueError:
+                continue  # expired
+            out.append(
+                {
+                    "seq": m["seq"],
+                    "parent_seq": m["parent_seq"],
+                    "operation": m["operation"],
+                    "summary": m.get("summary", {}),
+                    "n_files": len(m["files"]),
+                    "rows": sum(f["rows"] for f in m["files"]),
+                }
+            )
+        return out
+
+    # ----------------------------------------------------------------- commit
+
+    def _publish(self, manifest: dict, seq: int) -> None:
+        """Atomically publish manifest as snapshot ``seq`` (EEXIST -> conflict)."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = os.path.join(self.meta_dir, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, separators=(",", ":"))
+        try:
+            # hard-link publish: atomic AND exclusive (rename would silently
+            # overwrite a racing writer's manifest)
+            os.link(tmp, self._snap_path(seq))
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot {seq} already committed at {self.root}"
+            )
+        finally:
+            os.unlink(tmp)
+
+    def commit(
+        self,
+        files: List[FileEntry],
+        operation: str,
+        summary: Optional[dict] = None,
+        schema_json: Optional[str] = None,
+        expected_parent: Optional[int] = None,
+    ) -> int:
+        """Publish a snapshot whose live set is exactly ``files``.
+
+        ``expected_parent`` pins the base snapshot (Iceberg's
+        validateFromSnapshot): if the table moved past it, raise
+        ``CommitConflict`` without publishing.
+        """
+        cur = self.current_seq()
+        if expected_parent is not None and cur != expected_parent:
+            raise CommitConflict(
+                f"base snapshot moved: expected parent {expected_parent}, table is at {cur}"
+            )
+        if schema_json is None and cur is not None:
+            schema_json = self.manifest(cur).get("schema")
+        manifest = {
+            "seq": (cur or 0) + 1,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_seq": cur,
+            "operation": operation,
+            "summary": summary or {},
+            "schema": schema_json,
+            "files": [f.to_json() for f in files],
+        }
+        self._publish(manifest, manifest["seq"])
+        return manifest["seq"]
+
+    # ------------------------------------------------------------------ write
+
+    def _stage_df(self, df: DataFrame) -> Tuple[List[FileEntry], str]:
+        """Write ``df`` via Spark into staging, move parts into data/ as
+        immutable uuid-named files, harvest footer stats.
+
+        The Spark write is a normal distributed parquet job (any
+        parallelism, any size); only the per-file rename + footer read is
+        driver-side — O(files), not O(rows)."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        stage = os.path.join(self.staging_dir, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(stage)
+        entries: List[FileEntry] = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            final = f"{uuid.uuid4().hex}.parquet"
+            abs_final = os.path.join(self.data_dir, final)
+            os.rename(os.path.join(stage, name), abs_final)
+            rows, stats = _footer_stats(abs_final)
+            entries.append(
+                FileEntry(
+                    path=os.path.join("data", final),
+                    rows=rows,
+                    bytes=os.path.getsize(abs_final),
+                    stats=stats,
+                )
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries, df.schema.json()
+
+    def append(
+        self,
+        df: DataFrame,
+        summary: Optional[dict] = None,
+        max_retries: int = 5,
+        summary_fn=None,
+    ) -> int:
+        """Append ``df`` as a new snapshot; rebase-and-retry on conflict.
+
+        Data files are written ONCE; only the metadata commit retries —
+        the optimistic-concurrency fast path (losing a race costs a
+        manifest re-read, never a data rewrite).
+
+        ``summary_fn``: called once AFTER the data files are staged (i.e.
+        after the Spark write action ran) and merged into ``summary`` —
+        the hook that lets ``observe()`` metrics from the write pass land
+        inside the commit manifest itself (metrics alongside the commit,
+        the north-rule lineage shape)."""
+        new_files, schema_json = self._stage_df(df)
+        if summary_fn is not None:
+            summary = {**(summary or {}), **summary_fn()}
+        for _ in range(max_retries):
+            cur = self.current_seq()
+            base = self.manifest(cur)["files"] if cur is not None else []
+            try:
+                return self.commit(
+                    [FileEntry.from_json(d) for d in base] + new_files,
+                    "append",
+                    summary=summary,
+                    schema_json=schema_json,
+                    expected_parent=cur,
+                )
+            except CommitConflict:
+                continue  # someone else landed; rebase on their manifest
+        raise CommitConflict(f"append lost {max_retries} commit races at {self.root}")
+
+    def overwrite(self, df: DataFrame, summary: Optional[dict] = None) -> int:
+        """Replace the table's live set with ``df`` (no retry: an overwrite
+        that raced must re-validate against the new state by design)."""
+        new_files, schema_json = self._stage_df(df)
+        return self.commit(
+            new_files, "overwrite", summary=summary, schema_json=schema_json,
+            expected_parent=self.current_seq(),
+        )
+
+    def rollback(self, seq: int, summary: Optional[dict] = None) -> int:
+        """Commit a NEW snapshot whose live set equals snapshot ``seq``
+        (history-preserving rollback, as Iceberg's rollback-to-snapshot)."""
+        old = self.manifest(seq)
+        return self.commit(
+            [FileEntry.from_json(d) for d in old["files"]],
+            "rollback",
+            summary={**(summary or {}), "rolled_back_to": seq},
+            schema_json=old.get("schema"),
+            expected_parent=self.current_seq(),
+        )
+
+    # ------------------------------------------------------------------- read
+
+    def _prune_files(
+        self, files: List[FileEntry], prune: Tuple[str, Any, Any]
+    ) -> List[FileEntry]:
+        col, lo, hi = prune
+        lo_s, hi_s = _json_safe(lo), _json_safe(hi)
+        keep = []
+        for f in files:
+            st = f.stats.get(col)
+            if st is None:  # no stats -> cannot prove absent -> must read
+                keep.append(f)
+                continue
+            fmin, fmax = st
+            if (hi_s is not None and fmin is not None and fmin > hi_s) or (
+                lo_s is not None and fmax is not None and fmax < lo_s
+            ):
+                continue  # file's [min,max] disjoint from [lo,hi]
+            keep.append(f)
+        return keep
+
+    def read(
+        self,
+        spark: SparkSession,
+        seq: Optional[int] = None,
+        prune: Optional[Tuple[str, Any, Any]] = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read: plans over the manifest's immutable file
+        list, so commits after this call never leak into the scan.
+
+        ``prune=(col, lo, hi)`` drops files whose footer [min,max] cannot
+        intersect [lo, hi] BEFORE Spark plans the scan (manifest pruning);
+        ``lo``/``hi`` may be None for one-sided ranges.  Pruning is a
+        file-level cut only — callers still apply the exact row filter
+        (same contract as Iceberg: metadata pruning never replaces the
+        predicate, it just skips files that provably contain no match)."""
+        m = self.manifest(seq)
+        files = [FileEntry.from_json(d) for d in m["files"]]
+        if prune is not None:
+            files = self._prune_files(files, prune)
+        schema = T.StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else None
+        if not files:
+            if schema is None:
+                raise ValueError("empty snapshot with no recorded schema")
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f.path) for f in files]
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)  # skip footer-merge schema inference
+        return reader.parquet(*paths)
+
+    # ------------------------------------------------------------------ expire
+
+    def expire(self, keep_last: int) -> dict:
+        """Drop all but the last ``keep_last`` manifests and GC data files
+        referenced by NO retained manifest.  Metadata-only + unlink —
+        never touches live bytes."""
+        cur = self.current_seq()
+        if cur is None:
+            return {"manifests_removed": 0, "files_removed": 0}
+        cutoff = cur - keep_last + 1
+        live: set = set()
+        removed_manifests = 0
+        for seq in range(1, cur + 1):
+            p = self._snap_path(seq)
+            if not os.path.exists(p):
+                continue
+            if seq < cutoff:
+                os.unlink(p)
+                removed_manifests += 1
+            else:
+                with open(p) as f:
+                    live.update(d["path"] for d in json.load(f)["files"])
+        removed_files = 0
+        if os.path.isdir(self.data_dir):
+            for name in os.listdir(self.data_dir):
+                rel = os.path.join("data", name)
+                if rel not in live:
+                    os.unlink(os.path.join(self.data_dir, name))
+                    removed_files += 1
+        return {"manifests_removed": removed_manifests, "files_removed": removed_files}

@@ -150,3 +150,46 @@ def test_curate_decontaminates_eval_overlap(spark, tmp_path_factory, monkeypatch
     assert (victim.conv_id, victim.turn_idx) in dropped
     # only rows overlapping the snippet drop
     assert keys1 < keys0 and len(dropped) < len(keys0) / 2
+
+
+def test_curate_snapshot_mode_commits_atomic_history(spark, tmp_path, monkeypatch):
+    """--snapshot: each curation run lands as one addressable commit in the
+    snapshot log, metrics inside the manifest; reruns accumulate history
+    instead of overwriting, and the strict run is time-travel-comparable
+    against the lax one."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    pdf = synth.gen_pandas(8, seed=21, max_long=30)
+    write_transcripts_parquet(pdf, str(tmp_path / "in"))
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "out")
+    rc = C.main(["--input", str(tmp_path / "in"), "--output", out,
+                 "--min-quality", "0.0", "--snapshot"])
+    assert rc == 0
+    rc = C.main(["--input", str(tmp_path / "in"), "--output", out,
+                 "--min-quality", "0.45", "--snapshot"])
+    assert rc == 0
+
+    t = SnapshotTable(str(tmp_path / "out" / "table"))
+    h = t.history()
+    assert [e["seq"] for e in h] == [1, 2]
+    # metrics landed inside each commit manifest (not just the sidecar)
+    assert h[0]["summary"]["min_quality"] == 0.0
+    assert h[1]["summary"]["min_quality"] == 0.45
+    # snapshot 1 alone == the lax run; current == lax + strict appended
+    run1 = t.read(spark, seq=1)
+    assert run1.count() == h[0]["summary"]["rows_out"] > 0
+    assert t.read(spark).count() == h[0]["summary"]["rows_out"] + h[1]["summary"]["rows_out"]
+    # the strict run's rows form a subset of the lax run's keys
+    lax = {(r.conv_id, r.turn_idx) for r in run1.select("conv_id", "turn_idx").collect()}
+    strict_df = t.read(spark).exceptAll(run1)
+    strict = {(r.conv_id, r.turn_idx) for r in strict_df.select("conv_id", "turn_idx").collect()}
+    assert strict <= lax and len(strict) == h[1]["summary"]["rows_out"]
+    assert strict_df.filter(F.col("quality") < 0.45).count() == 0

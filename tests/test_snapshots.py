@@ -1,0 +1,133 @@
+"""Snapshot commit-log (Iceberg-analog) semantics: atomic commits,
+snapshot-isolated reads, time travel, rollback, optimistic concurrency,
+footer-stats file pruning, expiry GC (sources/snapshots.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from table_ocr_spark.sources.snapshots import CommitConflict, FileEntry, SnapshotTable
+
+
+def _batch(spark, lo, hi, tag):
+    return spark.createDataFrame(
+        [Row(k=i, tag=tag) for i in range(lo, hi)], "k int, tag string"
+    )
+
+
+def _rows(df):
+    return sorted((r.k, r.tag) for r in df.collect())
+
+
+def test_append_time_travel_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.current_seq() is None
+    s1 = t.append(_batch(spark, 0, 10, "a"), summary={"run": "r1"})
+    s2 = t.append(_batch(spark, 10, 20, "b"))
+    s3 = t.append(_batch(spark, 20, 30, "c"))
+    assert (s1, s2, s3) == (1, 2, 3)
+    # current read sees the union; time travel sees each prefix
+    assert _rows(t.read(spark)) == _rows(
+        _batch(spark, 0, 10, "a").union(_batch(spark, 10, 20, "b")).union(_batch(spark, 20, 30, "c"))
+    )
+    assert _rows(t.read(spark, seq=1)) == _rows(_batch(spark, 0, 10, "a"))
+    assert _rows(t.read(spark, seq=2)) == _rows(
+        _batch(spark, 0, 10, "a").union(_batch(spark, 10, 20, "b"))
+    )
+    h = t.history()
+    assert [e["seq"] for e in h] == [1, 2, 3]
+    assert h[0]["summary"] == {"run": "r1"}
+    assert h[0]["parent_seq"] is None and h[2]["parent_seq"] == 2
+    assert h[2]["rows"] == 30  # appends accumulate files
+
+
+def test_snapshot_isolation_of_planned_read(spark, tmp_path):
+    """A DataFrame planned against snapshot N is unaffected by commits
+    that land after planning — the file list is pinned at plan time."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 5, "a"))
+    df = t.read(spark)  # planned now
+    t.append(_batch(spark, 5, 10, "b"))  # lands after
+    assert _rows(df) == _rows(_batch(spark, 0, 5, "a"))
+    assert len(t.read(spark).collect()) == 10  # a fresh read does see both
+
+
+def test_overwrite_and_rollback(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 10, "a"))
+    t.overwrite(_batch(spark, 100, 105, "z"))
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 100, 105, "z"))
+    # pre-overwrite snapshot still addressable
+    assert _rows(t.read(spark, seq=1)) == _rows(_batch(spark, 0, 10, "a"))
+    s = t.rollback(1)
+    assert s == 3 and t.manifest()["operation"] == "rollback"
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 0, 10, "a"))
+    # rollback preserved history: the overwritten state is still seq 2
+    assert _rows(t.read(spark, seq=2)) == _rows(_batch(spark, 100, 105, "z"))
+
+
+def test_commit_conflict_and_append_rebase(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 5, "a"))
+    base = t.current_seq()
+    files = [FileEntry.from_json(d) for d in t.manifest()["files"]]
+    # a racing writer lands first
+    t.append(_batch(spark, 5, 10, "b"))
+    # pinned-parent commit must abort (Iceberg validateFromSnapshot)
+    with pytest.raises(CommitConflict):
+        t.commit(files, "overwrite", expected_parent=base)
+    # append() rebases instead of aborting: both writers' rows survive
+    t.append(_batch(spark, 10, 15, "c"))
+    assert len(t.read(spark).collect()) == 15
+    # exclusive publish: a manifest seq can never be silently overwritten
+    with pytest.raises(CommitConflict):
+        t._publish({"seq": t.current_seq(), "files": []}, t.current_seq())
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # three disjoint k-ranges -> three snapshots, one file each (coalesce(1))
+    for lo in (0, 100, 200):
+        t.append(_batch(spark, lo, lo + 50, "x").coalesce(1))
+    full = t.read(spark)
+    assert len(full.inputFiles()) == 3
+    pruned = t.read(spark, prune=("k", 120, 140))
+    assert len(pruned.inputFiles()) == 1  # only the middle file survives
+    # pruning is file-level: exact filter on top gives the exact answer
+    got = sorted(r.k for r in pruned.filter((F.col("k") >= 120) & (F.col("k") <= 140)).collect())
+    want = sorted(r.k for r in full.filter((F.col("k") >= 120) & (F.col("k") <= 140)).collect())
+    assert got == want and len(got) == 21
+    # one-sided range
+    assert len(t.read(spark, prune=("k", 150, None)).inputFiles()) == 1
+    # string-column pruning works off footer byte-stats (every tag is "x")
+    assert len(t.read(spark, prune=("tag", "y", None)).inputFiles()) == 0
+
+
+def test_expire_gc(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 5, "a").coalesce(1))
+    t.overwrite(_batch(spark, 5, 10, "b").coalesce(1))  # snap-1's file now dead
+    t.append(_batch(spark, 10, 15, "c").coalesce(1))
+    before = _rows(t.read(spark))
+    res = t.expire(keep_last=2)
+    assert res["manifests_removed"] == 1
+    assert res["files_removed"] == 1  # snap-1's file referenced by no survivor
+    assert _rows(t.read(spark)) == before  # live reads untouched
+    with pytest.raises(ValueError):
+        t.read(spark, seq=1)  # expired snapshot is a clean error
+    # remaining data files are exactly the live set
+    live = {d["path"] for d in t.manifest(2)["files"]} | {
+        d["path"] for d in t.manifest(3)["files"]
+    }
+    on_disk = {os.path.join("data", f) for f in os.listdir(t.data_dir)}
+    assert on_disk == live
+
+
+def test_empty_snapshot_read_keeps_schema(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 0, "a"))  # zero rows
+    df = t.read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "tag"]
