@@ -501,6 +501,16 @@ def q_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: mean stupid-backoff bigram ln-prob per
+    doc under the corpus's own exact-count model — two word-count-shaped
+    aggregations + token-key hash joins; model prunable via min_count at
+    scale (operators/lm.py)."""
+    from table_ocr_spark.operators.lm import ngram_lm_score
+
+    return ngram_lm_score(_docs(spark, sf_dir), text="text", key="doc_id")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 (explode → map-side-combined count →
     TakeOrdered) — the wordcount primitive of tokenizer training."""
@@ -1714,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_eval": q_decontaminate_eval,                  # NEW r5: train/eval n-gram decontamination
         "pack_sequences": q_pack_sequences,                          # NEW r5: token-budget sequence packing
         "rebalance_mixture": q_rebalance_mixture,                    # NEW r5: deterministic mixture rebalancing
+        "ngram_lm_score": q_ngram_lm_score,                          # NEW r5: corpus bigram-LM quality score
     }
 
 
@@ -2315,6 +2326,29 @@ def oracle_sql() -> dict[str, str]:
             "bad AS (SELECT DISTINCT trw.doc_id FROM trw JOIN evh USING (h)) "
             "SELECT doc_id FROM documents d WHERE NOT EXISTS "
             "(SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)"
+        ),
+        "ngram_lm_score": (
+            # exact-count stupid-backoff bigram LM trained on the corpus
+            # itself; ln() only at scoring time; alpha forced ::DOUBLE so
+            # DuckDB never does the math in DECIMAL
+            f"WITH tk AS (SELECT doc_id, {_SQL_TOKS_L} AS toks FROM documents), "
+            "uni AS (SELECT w, count(*) AS cu FROM "
+            "(SELECT unnest(toks) AS w FROM tk) GROUP BY w), "
+            "tot AS (SELECT sum(cu) AS t FROM uni), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            "i -> {'wp': toks[i], 'w': toks[i+1]}), recursive := true) FROM tk), "
+            "bc AS (SELECT wp, w, count(*) AS cb FROM bg GROUP BY wp, w), "
+            "sc AS (SELECT bg.doc_id, CASE WHEN bc.cb IS NOT NULL "
+            "THEN ln(bc.cb::DOUBLE / up.cu) "
+            "ELSE ln(0.4::DOUBLE * uc.cu / tot.t) END AS lp "
+            "FROM bg LEFT JOIN bc USING (wp, w) "
+            "JOIN uni up ON up.w = bg.wp JOIN uni uc ON uc.w = bg.w "
+            "CROSS JOIN tot), "
+            "pd AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "round(avg(lp), 6) AS lm_logprob FROM sc GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams, "
+            "coalesce(pd.lm_logprob, 0.0) AS lm_logprob "
+            "FROM documents d LEFT JOIN pd USING (doc_id)"
         ),
         "rebalance_mixture": (
             # integer-exact mixture math: n_out = min(count*PPM//share),

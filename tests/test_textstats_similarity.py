@@ -267,3 +267,65 @@ def test_rebalance_mixture(spark):
     extra = df.union(spark.createDataFrame([(9999, "zz")], "doc_id long, lang string"))
     got2 = rebalance_mixture(extra, targets).collect()
     assert all(r.lang != "zz" for r in got2)
+
+
+class TestNgramLmScore:
+    """Corpus bigram-LM quality score (operators/lm.py): hand-checked
+    stupid-backoff math, min_count pruning, broadcast-model equivalence."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a b a b"),          # bigrams: ab, ba, ab
+                (2, "a b c"),            # ab, bc
+                (3, "z"),                # no bigrams
+            ],
+            "doc_id int, text string",
+        )
+
+    def test_hand_computed_backoff(self, spark):
+        import math
+
+        from table_ocr_spark.operators.lm import ngram_lm_score
+
+        out = {r.doc_id: r for r in ngram_lm_score(self._df(spark)).collect()}
+        # corpus: tokens a,b,a,b,a,b,c,z -> cu: a=3 b=3 c=1 z=1, T=8
+        # bigrams: (a,b)x3 (b,a)x1 (b,c)x1
+        lab = math.log(3 / 3)   # C(ab)/C(a) = 3/3
+        lba = math.log(1 / 3)   # C(ba)/C(b)
+        lbc = math.log(1 / 3)   # C(bc)/C(b)
+        assert out[1].n_bigrams == 3
+        assert out[1].lm_logprob == round((lab + lba + lab) / 3, 6)
+        assert out[2].n_bigrams == 2
+        assert out[2].lm_logprob == round((lab + lbc) / 2, 6)
+        # <2 tokens: zero transitions, neutral score
+        assert out[3].n_bigrams == 0 and out[3].lm_logprob == 0.0
+
+    def test_min_count_prunes_to_backoff(self, spark):
+        import math
+
+        from table_ocr_spark.operators.lm import ngram_lm_score
+
+        out = {
+            r.doc_id: r
+            for r in ngram_lm_score(self._df(spark), min_count=2).collect()
+        }
+        # only (a,b) (count 3) survives the pruned model; (b,a),(b,c)
+        # back off: alpha * cu(w) / T
+        lab = math.log(3 / 3)
+        lba = math.log(0.4 * 3 / 8)
+        lbc = math.log(0.4 * 1 / 8)
+        assert out[1].lm_logprob == round((lab + lba + lab) / 3, 6)
+        assert out[2].lm_logprob == round((lab + lbc) / 2, 6)
+
+    def test_broadcast_model_equivalent(self, spark):
+        from table_ocr_spark.operators.lm import ngram_lm_score
+
+        a = ngram_lm_score(self._df(spark)).collect()
+        b = ngram_lm_score(self._df(spark), broadcast_model=True).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # broadcast mode: scoring joins build broadcast hash relations
+        plan = ngram_lm_score(
+            self._df(spark), broadcast_model=True
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
