@@ -45,6 +45,14 @@ def main(argv=None) -> int:
         default=0,
         help="evict a conversation's strip state after this much processing-time inactivity",
     )
+    ap.add_argument(
+        "--snapshot-sink",
+        action="store_true",
+        help="commit each micro-batch through the snapshot log (Iceberg-"
+        "analog, <output>/table) instead of the raw parquet sink: atomic "
+        "per-epoch commits, exactly-once under batch replay, time travel "
+        "across the ingest history",
+    )
     args = ap.parse_args(argv)
 
     from jobs.extract import _resolve_config
@@ -73,6 +81,19 @@ def main(argv=None) -> int:
         if args.once:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
+    elif args.snapshot_sink:
+        from table_ocr_spark.operators.extract_job import with_extraction
+        from table_ocr_spark.streaming.snapshot_sink import start_snapshot_sink_stream
+        from table_ocr_spark.streaming.stream_extract import read_transcript_stream
+
+        src = read_transcript_stream(spark, args.input)
+        out = with_extraction(src.select("conv_id", "turn_idx", "text"), cfg)
+        q = start_snapshot_sink_stream(
+            out,
+            os.path.join(args.output, "table"),
+            args.checkpoint,
+            available_now=args.once,
+        )
     else:
         from table_ocr_spark.streaming.stream_extract import start_extract_stream
 

@@ -391,6 +391,127 @@ class SnapshotTable:
             reader = reader.schema(schema)  # skip footer-merge schema inference
         return reader.parquet(*paths)
 
+    # ------------------------------------------------------------- incremental
+
+    def read_changes(
+        self, spark: SparkSession, after_seq: int, until_seq: Optional[int] = None
+    ) -> DataFrame:
+        """Rows appended AFTER snapshot ``after_seq`` up to ``until_seq``
+        (default: current) — the Iceberg incremental-scan analog.
+
+        This is how a downstream job consumes a 100-TB table without
+        rescanning it: persist the last-processed seq, then each run
+        reads only the files new commits added (file-list set difference,
+        O(files) driver-side, zero data reads for unchanged files).
+
+        Only valid across ``append`` (and streaming-sink) commits: an
+        ``overwrite``/``compact``/``rollback`` in the range rewrites file
+        membership without row-level change tracking, so the method
+        raises rather than silently double-counting (same contract as
+        Iceberg's incremental read)."""
+        cur = self.current_seq()
+        until_seq = cur if until_seq is None else until_seq
+        if after_seq > until_seq:
+            raise ValueError(f"after_seq {after_seq} > until_seq {until_seq}")
+        base_files = (
+            {d["path"] for d in self.manifest(after_seq)["files"]}
+            if after_seq >= 1
+            else set()
+        )
+        m = self.manifest(until_seq)
+        for seq in range(after_seq + 1, until_seq + 1):
+            op = self.manifest(seq)["operation"]
+            if op != "append":
+                raise ValueError(
+                    f"incremental read crosses non-append snapshot {seq} "
+                    f"({op}); restart from a full read of seq {seq}"
+                )
+        new = [
+            FileEntry.from_json(d)
+            for d in m["files"]
+            if d["path"] not in base_files
+        ]
+        schema = T.StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else None
+        if not new:
+            if schema is None:
+                raise ValueError("empty change set with no recorded schema")
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f.path) for f in new]
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    # ----------------------------------------------------------------- compact
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        summary: Optional[dict] = None,
+        cluster_by: Optional[List[str]] = None,
+    ) -> Optional[int]:
+        """Rewrite the current live set into ~target-sized files (the
+        Iceberg ``rewrite_data_files`` analog for the small-file problem).
+
+        Streaming sinks and per-group commits accrete small files; at
+        100 TB a scan's task count — and the namenode/manifest pressure —
+        is O(files), so periodic compaction is part of the table's
+        lifecycle, not an optimization.  The rewrite is a normal
+        distributed repartition job; the result lands as ONE atomic
+        ``compact`` commit pinned to the base snapshot (a commit racing
+        the rewrite aborts it cleanly — rerun on the new base).  History
+        is preserved: pre-compaction snapshots stay readable until
+        ``expire`` GCs their files.
+
+        ``cluster_by``: range-partition + sort the rewrite on these
+        columns (Iceberg's sort-order rewrite): each output file then
+        covers a tight, near-disjoint [min,max] slice of the leading
+        column, which is what makes ``read(prune=...)`` actually skip
+        files — compaction without clustering produces hash-mixed files
+        whose stats span everything.
+
+        Returns the new snapshot seq, or None when the table is already
+        within budget (no commit published)."""
+        cur = self.current_seq()
+        if cur is None:
+            return None
+        m = self.manifest(cur)
+        files = [FileEntry.from_json(d) for d in m["files"]]
+        total = sum(f.bytes for f in files)
+        n_target = max(1, -(-total // target_file_bytes))  # ceil
+        if len(files) <= n_target and not cluster_by:
+            return None
+        src = self.read(spark, seq=cur)
+        if cluster_by:
+            df = src.repartitionByRange(n_target, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = src.repartition(n_target)
+        new_files, schema_json = self._stage_df(df)
+        # carry the streaming-sink epoch watermark forward: without this,
+        # compact + expire could erase the exactly-once marker the sink's
+        # replay check depends on (streaming/snapshot_sink.py)
+        carried = {
+            k: v
+            for k, v in m.get("summary", {}).items()
+            if k == "stream_max_epoch"
+        }
+        return self.commit(
+            new_files,
+            "compact",
+            summary={
+                **carried,
+                **(summary or {}),
+                "files_before": len(files),
+                "files_after": len(new_files),
+                "bytes": total,
+            },
+            schema_json=schema_json,
+            expected_parent=cur,
+        )
+
     # ------------------------------------------------------------------ expire
 
     def expire(self, keep_last: int) -> dict:

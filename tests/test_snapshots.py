@@ -131,3 +131,97 @@ def test_empty_snapshot_read_keeps_schema(spark, tmp_path):
     df = t.read(spark)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["k", "tag"]
+
+
+def test_compaction_rewrites_small_files_atomically(spark, tmp_path):
+    """compact(): many small files -> few target-sized files in ONE
+    'compact' commit; rows identical; pre-compaction history readable;
+    second compact is a no-op."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for lo in range(0, 60, 10):  # 6 appends -> 6 single-file snapshots
+        t.append(_batch(spark, lo, lo + 10, "x").coalesce(1))
+    before = _rows(t.read(spark))
+    assert len(t.read(spark).inputFiles()) == 6
+    seq = t.compact(spark, target_file_bytes=1 << 30)  # everything fits one
+    assert seq == 7 and t.manifest()["operation"] == "compact"
+    assert len(t.read(spark).inputFiles()) == 1
+    assert _rows(t.read(spark)) == before
+    s = t.manifest()["summary"]
+    assert s["files_before"] == 6 and s["files_after"] == 1
+    # history preserved: the pre-compaction snapshot still reads
+    assert len(t.read(spark, seq=3).collect()) == 30
+    # already within budget -> no new commit
+    assert t.compact(spark, target_file_bytes=1 << 30) is None
+    assert t.current_seq() == 7
+
+
+def test_compaction_carries_stream_epoch_watermark(spark, tmp_path):
+    from table_ocr_spark.streaming.snapshot_sink import last_stream_epoch
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 5, "a").coalesce(1),
+             summary={"stream_epoch": 3, "stream_max_epoch": 3})
+    t.append(_batch(spark, 5, 9, "b").coalesce(1),
+             summary={"stream_epoch": 4, "stream_max_epoch": 4})
+    assert last_stream_epoch(t) == 4
+    t.compact(spark, target_file_bytes=1 << 30)
+    assert t.manifest()["operation"] == "compact"
+    # watermark survives compaction + expiry of the original commits
+    t.expire(keep_last=1)
+    assert last_stream_epoch(t) == 4
+
+
+def test_clustered_compaction_enables_pruning(spark, tmp_path):
+    """cluster_by compaction: hash-mixed small files (stats span all k)
+    become range-clustered files with near-disjoint [min,max], so a
+    stats-prune that read everything before reads one file after."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # interleaved appends: every file spans nearly the full k range
+    for off in range(4):
+        rows = [Row(k=off + 4 * i, tag="x") for i in range(75)]
+        t.append(
+            spark.createDataFrame(rows, "k int, tag string").coalesce(1)
+        )
+    assert len(t.read(spark).inputFiles()) == 4
+    # stats-prune on a narrow slice cannot skip anything: all files overlap
+    assert len(t.read(spark, prune=("k", 10, 20)).inputFiles()) == 4
+    # small target forces multiple output files; clustering makes them
+    # k-disjoint (range partitioner)
+    total = sum(FileEntry.from_json(d).bytes for d in t.manifest()["files"])
+    t.compact(spark, target_file_bytes=total // 4 + 1, cluster_by=["k"])
+    after = t.read(spark, prune=("k", 10, 20))
+    assert 1 <= len(after.inputFiles()) < 4
+    got = sorted(r.k for r in after.filter((F.col("k") >= 10) & (F.col("k") <= 20)).collect())
+    assert got == list(range(10, 21))
+    # full contents unchanged
+    assert t.read(spark).count() == 300
+
+
+def test_incremental_read_changes(spark, tmp_path):
+    """read_changes: downstream consumers read only files added after
+    their watermark seq; non-append commits in the range raise instead of
+    silently double-counting."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 10, "a"))
+    t.append(_batch(spark, 10, 20, "b"))
+    t.append(_batch(spark, 20, 30, "c"))
+    # after seq1 -> exactly batches b+c
+    assert _rows(t.read_changes(spark, after_seq=1)) == _rows(
+        _batch(spark, 10, 20, "b").union(_batch(spark, 20, 30, "c"))
+    )
+    # bounded range
+    assert _rows(t.read_changes(spark, after_seq=1, until_seq=2)) == _rows(
+        _batch(spark, 10, 20, "b")
+    )
+    # from the beginning
+    assert len(t.read_changes(spark, after_seq=0).collect()) == 30
+    # caught-up consumer: empty frame, schema intact
+    caught = t.read_changes(spark, after_seq=3)
+    assert caught.count() == 0 and [f.name for f in caught.schema.fields] == ["k", "tag"]
+    # compaction breaks row-level change tracking -> clean error
+    t.compact(spark, target_file_bytes=1 << 30)
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_changes(spark, after_seq=2)
+    # but a fresh watermark past the compact works again
+    t.append(_batch(spark, 30, 35, "d"))
+    assert _rows(t.read_changes(spark, after_seq=4)) == _rows(_batch(spark, 30, 35, "d"))

@@ -1,0 +1,83 @@
+"""Streaming sink into the snapshot log: one commit per micro-batch,
+exactly-once under batch replay (streaming/snapshot_sink.py)."""
+
+from pyspark.sql import functions as F
+
+from table_ocr_spark import synth
+from table_ocr_spark.sources.catalog import write_transcripts_parquet
+from table_ocr_spark.sources.snapshots import SnapshotTable
+from table_ocr_spark.streaming.snapshot_sink import (
+    last_stream_epoch,
+    snapshot_batch_writer,
+    start_snapshot_sink_stream,
+)
+
+
+def test_stream_commits_snapshots_and_resumes_incrementally(spark, tmp_path):
+    from table_ocr_spark.streaming.stream_extract import read_transcript_stream
+
+    inp = str(tmp_path / "in")
+    write_transcripts_parquet(synth.gen_pandas(6, seed=9, max_long=30), inp)
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    src = read_transcript_stream(spark, inp, max_files_per_trigger=3)
+    q = start_snapshot_sink_stream(
+        src.select("conv_id", "turn_idx", "text"), root, ckpt
+    )
+    q.awaitTermination(120)
+
+    t = SnapshotTable(root)
+    h = t.history()
+    assert len(h) >= 1  # >=1 epoch committed (8 input files / 3 per trigger)
+    assert all("stream_epoch" in e["summary"] for e in h)
+    n_input = spark.read.parquet(inp).count()
+    assert t.read(spark).count() == n_input
+
+    # restart from the same checkpoint with NO new data: no new snapshots
+    seq_before = t.current_seq()
+    q2 = start_snapshot_sink_stream(
+        read_transcript_stream(spark, inp, max_files_per_trigger=3)
+        .select("conv_id", "turn_idx", "text"),
+        root,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    assert t.current_seq() == seq_before
+
+    # new file lands -> exactly the new rows commit as the next epoch
+    extra = synth.gen_pandas(2, seed=77, max_long=10)
+    write_transcripts_parquet(extra, str(tmp_path / "in2"))
+    import shutil, os
+    for f in os.listdir(str(tmp_path / "in2")):
+        shutil.copy(str(tmp_path / "in2" / f), os.path.join(inp, "new-" + f))
+    q3 = start_snapshot_sink_stream(
+        read_transcript_stream(spark, inp, max_files_per_trigger=100)
+        .select("conv_id", "turn_idx", "text"),
+        root,
+        ckpt,
+    )
+    q3.awaitTermination(120)
+    assert t.current_seq() > seq_before
+    assert t.read(spark).count() == spark.read.parquet(inp).count()
+
+
+def test_replayed_epoch_is_skipped_exactly_once(spark, tmp_path):
+    """The foreachBatch function is idempotent per epoch: a replay of an
+    already-committed batchId (Structured Streaming's crash contract)
+    commits nothing."""
+    root = str(tmp_path / "tbl")
+    writer = snapshot_batch_writer(root)
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+
+    writer(df, 0)
+    writer(df, 1)
+    t = SnapshotTable(root)
+    assert t.current_seq() == 2 and last_stream_epoch(t) == 1
+    # crash-replay of epoch 1: skipped, nothing committed
+    writer(df, 1)
+    assert t.current_seq() == 2
+    assert t.read(spark).count() == 2
+    # and the next real epoch commits normally
+    writer(df, 2)
+    assert t.current_seq() == 3 and last_stream_epoch(t) == 2
