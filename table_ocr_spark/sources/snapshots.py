@@ -512,6 +512,229 @@ class SnapshotTable:
             expected_parent=cur,
         )
 
+    # ------------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: List[str],
+        when_matched: str = "update",
+        summary: Optional[dict] = None,
+    ) -> int:
+        """Copy-on-write MERGE (the Iceberg ``MERGE INTO`` analog): upsert
+        ``source`` into the table by ``key_cols``, rewriting ONLY the data
+        files that actually contain a matched key.
+
+        At 100 TB the whole point of MERGE is touching O(matched files),
+        not O(table): a CDC batch of 1M keys against a 200k-file table
+        should rewrite the handful of files those keys live in and carry
+        every other file forward by reference (zero IO).  Three cuts get
+        there:
+
+        1. **stats cut** (driver, metadata-only): files whose footer
+           [min,max] on the leading key column cannot intersect the
+           source's key range are untouched without being opened;
+        2. **membership cut** (one distributed semi-join): scan only the
+           stats-surviving files with ``input_file_name()``, semi-join
+           against the source keys, and collect the DISTINCT matched file
+           names — O(matched files) driver-side, never rows;
+        3. **rewrite** (one distributed job over matched files only):
+           matched-file rows anti-joined on the key, unioned with the
+           source (``when_matched="update"``) — or just the anti-join for
+           ``when_matched="delete"`` (row-level delete by key set).
+
+        Unmatched source rows are inserted (classic upsert); for
+        ``"delete"`` they are ignored.  Duplicate keys in ``source``
+        raise (Iceberg's MERGE cardinality check: one source row per
+        target key, else the result is order-dependent).
+
+        The commit pins ``expected_parent`` — a racing commit aborts this
+        merge cleanly (rerun on the new base), same contract as
+        ``compact``.  Snapshot history stays intact: pre-merge state
+        remains addressable until ``expire``.
+        """
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        cur = self.current_seq()
+        if cur is None:
+            if when_matched == "delete":
+                raise ValueError("cannot merge-delete into an empty table")
+            return self.append(source, summary={**(summary or {}), "merge": "into-empty"})
+        m = self.manifest(cur)
+        files = [FileEntry.from_json(d) for d in m["files"]]
+
+        # MERGE cardinality check + the one tiny driver agg that powers the
+        # stats cut (min/max of the leading key; count/distinct for the dup
+        # check rides the same single-row collect)
+        lead = key_cols[0]
+        src = source.persist()
+        agg = src.agg(
+            F.min(lead).alias("lo"),
+            F.max(lead).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in key_cols]).alias("nk"),
+        ).collect()[0]
+        if agg["n"] != agg["nk"]:
+            src.unpersist()
+            raise ValueError(
+                f"MERGE source has duplicate keys on {key_cols} "
+                f"({agg['n']} rows, {agg['nk']} distinct) — result would be order-dependent"
+            )
+        if agg["n"] == 0:
+            src.unpersist()
+            return self.commit(
+                files, "merge",
+                summary={**(summary or {}), "files_rewritten": 0, "files_untouched": len(files)},
+                schema_json=m.get("schema"), expected_parent=cur,
+            )
+
+        candidates = self._prune_files(files, (lead, agg["lo"], agg["hi"]))
+        cand_paths = {os.path.join(self.root, f.path) for f in candidates}
+        keys = src.select(*key_cols).distinct()
+        matched_files: set = set()
+        if cand_paths:
+            with_name = self.read_files(spark, candidates, m.get("schema")).withColumn(
+                "_file", F.input_file_name()
+            )
+            matched_files = {
+                r["_file"]
+                for r in with_name.join(F.broadcast(keys), on=key_cols, how="leftsemi")
+                .select("_file").distinct().collect()
+            }
+        # normalize: input_file_name yields a URI (file:///...); manifest
+        # paths are plain — compare on the path tail
+        def _norm(p: str) -> str:
+            return p.split("://", 1)[-1].lstrip("/")
+        matched_norm = {_norm(p) for p in matched_files}
+        touched = [
+            f for f in files
+            if _norm(os.path.abspath(os.path.join(self.root, f.path))) in matched_norm
+        ]
+        untouched = [f for f in files if f not in touched]
+
+        if touched:
+            old_rows = self.read_files(spark, touched, m.get("schema"))
+            kept = old_rows.join(F.broadcast(keys), on=key_cols, how="left_anti")
+        else:
+            kept = None
+        if when_matched == "update":
+            new_rows = kept.unionByName(src) if kept is not None else src
+        else:
+            new_rows = kept  # delete: matched rows drop, source never inserts
+        inserted = 0 if when_matched == "delete" else int(agg["n"])
+
+        new_files: List[FileEntry] = []
+        schema_json = m.get("schema")
+        if new_rows is not None:
+            new_files, schema_json = self._stage_df(new_rows)
+        src.unpersist()
+        carried = {k: v for k, v in m.get("summary", {}).items() if k == "stream_max_epoch"}
+        return self.commit(
+            untouched + new_files,
+            "merge",
+            summary={
+                **carried,
+                **(summary or {}),
+                "when_matched": when_matched,
+                "source_rows": int(agg["n"]),
+                "inserted_or_updated": inserted,
+                "files_rewritten": len(touched),
+                "files_untouched": len(untouched),
+            },
+            schema_json=schema_json,
+            expected_parent=cur,
+        )
+
+    def read_files(
+        self, spark: SparkSession, files: List[FileEntry], schema_json: Optional[str]
+    ) -> DataFrame:
+        """Scan an explicit FileEntry list with the table schema."""
+        paths = [os.path.join(self.root, f.path) for f in files]
+        reader = spark.read
+        if schema_json:
+            reader = reader.schema(T.StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*paths)
+
+    # ------------------------------------------------------------------ delete
+
+    def delete_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo: Any,
+        hi: Any,
+        summary: Optional[dict] = None,
+    ) -> int:
+        """Delete all rows with ``lo <= col <= hi`` — Iceberg's
+        ``DELETE WHERE`` with metadata-only fast path.
+
+        File-level trichotomy from footer stats (driver, no data IO):
+
+        * **disjoint** files ([min,max] outside the range) carry forward
+          by reference — untouched;
+        * **fully-covered** files (lo <= min AND max <= hi) are DROPPED
+          from the manifest — a metadata-only delete, zero bytes read or
+          written (this is why retention jobs at 100 TB partition/cluster
+          by their delete key: expiry becomes a manifest edit);
+        * only **straddling** files are rewritten with the complement
+          predicate — one distributed filter job over that subset.
+
+        Both bounds are required (use merge(when_matched="delete") for
+        arbitrary key sets).  History preserved; racing commit aborts.
+        """
+        from pyspark.sql import functions as F
+
+        if lo is None or hi is None:
+            raise ValueError("delete_range needs both bounds; use merge(..., 'delete') for key sets")
+        cur = self.current_seq()
+        if cur is None:
+            raise ValueError("cannot delete from an empty table")
+        m = self.manifest(cur)
+        files = [FileEntry.from_json(d) for d in m["files"]]
+        lo_s, hi_s = _json_safe(lo), _json_safe(hi)
+
+        disjoint: List[FileEntry] = []
+        covered: List[FileEntry] = []
+        straddle: List[FileEntry] = []
+        for f in files:
+            st = f.stats.get(col)
+            if st is None:
+                straddle.append(f)  # no stats: must rewrite to be safe
+                continue
+            fmin, fmax = st
+            if fmin is not None and fmin > hi_s or fmax is not None and fmax < lo_s:
+                disjoint.append(f)
+            elif fmin is not None and fmax is not None and fmin >= lo_s and fmax <= hi_s:
+                covered.append(f)
+            else:
+                straddle.append(f)
+
+        new_files: List[FileEntry] = []
+        schema_json = m.get("schema")
+        if straddle:
+            remain = self.read_files(spark, straddle, schema_json).filter(
+                ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+            )
+            new_files, schema_json = self._stage_df(remain)
+        carried = {k: v for k, v in m.get("summary", {}).items() if k == "stream_max_epoch"}
+        return self.commit(
+            disjoint + new_files,
+            "delete",
+            summary={
+                **carried,
+                **(summary or {}),
+                "predicate": {"col": col, "lo": lo_s, "hi": hi_s},
+                "files_untouched": len(disjoint),
+                "files_dropped_metadata_only": len(covered),
+                "files_rewritten": len(straddle),
+            },
+            schema_json=schema_json,
+            expected_parent=cur,
+        )
+
     # ------------------------------------------------------------------ expire
 
     def expire(self, keep_last: int) -> dict:
