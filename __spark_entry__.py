@@ -1060,6 +1060,20 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order index (operators/ordering.py):
+    seq = rank in md5(doc_id ++ salt) order, assigned by the two-level
+    bucket-offset pattern — per-bucket row_number over ~4096 value-derived
+    buckets plus broadcast cumulative offsets — NOT the single-partition
+    global window Spark would plan for row_number() OVER (ORDER BY ...).
+    The oracle IS that single-partition form (fine at oracle scale),
+    pinning the distributed plan to exact global-rank semantics."""
+    from table_ocr_spark.operators.ordering import global_shuffle_index
+
+    out = global_shuffle_index(_docs(spark, sf_dir), ["doc_id"], salt="v1")
+    return out.select("doc_id", "seq")
+
+
 def q_events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible check of the HLL sketch path (approx_count_distinct —
     the distinct-count plan at 10^12 rows, mergeable map-side): the sketch
@@ -1663,8 +1677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_hocr": q_spans_hocr,
         "stream_extract_clean": q_stream_extract_clean,              # streaming == batch equality
         "conv_metrics": q_conv_metrics,
-        # ---- text analysis (1) — the 6 stat kernels are 3-4x green, tail ----
+        # ---- text analysis (2) — the 6 stat kernels are 3-4x green, tail ----
         "dataset_split": q_dataset_split,                            # deterministic hash split
+        "global_shuffle_index": q_global_shuffle_index,              # NEW r5: bucket-offset global order
         # ---- dedup pipeline stages (6) ----
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
@@ -2290,6 +2305,14 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'train' WHEN "
             f"{_SQL_HASH60.format(x=fingerprint)} % 1000 < 950 THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "global_shuffle_index": (
+            # the naive single-partition form: exact global rank in
+            # md5(doc_id \x1f salt) order — md5 hex is identical across
+            # engines, doc_id is unique, so ranks are unambiguous
+            "SELECT doc_id, CAST(row_number() OVER "
+            "(ORDER BY md5(doc_id || chr(31) || 'v1')) - 1 AS BIGINT) AS seq "
+            "FROM documents"
         ),
         "repetition_stats": (
             # lines: trimmed, non-empty; bigrams: range(1, len) is
