@@ -1074,6 +1074,38 @@ def q_global_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "seq")
 
 
+def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (operators/sampling.py cap_per_key): keep the 5
+    longest docs per source, n_chars DESC with doc_id tie-break.  The
+    two-phase salted form runs here (prefilter + exact window) so the
+    oracle pins the pigeonhole argument, not just the easy one-window
+    plan; a hot source never exceeds n x 32 rows in any one window
+    partition."""
+    from table_ocr_spark.operators.sampling import cap_per_key
+
+    out = cap_per_key(
+        _docs(spark, sf_dir),
+        "source",
+        [F.col("n_chars").desc()],
+        id_col="doc_id",
+        n=5,
+        prefilter_buckets=32,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+def q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% corpus sample by doc_id hash (RNG-free,
+    repartition-stable, salt-rotatable) — a pure JVM projection filter,
+    no shuffle.  Exact-oracled: DuckDB computes the identical md5-bucket
+    arithmetic, so the kept SET matches row for row, not just the rate."""
+    from table_ocr_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 0.25, salt="s1").select(
+        "doc_id", "lang"
+    )
+
+
 def q_events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible check of the HLL sketch path (approx_count_distinct —
     the distinct-count plan at 10^12 rows, mergeable map-side): the sketch
@@ -1677,9 +1709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_hocr": q_spans_hocr,
         "stream_extract_clean": q_stream_extract_clean,              # streaming == batch equality
         "conv_metrics": q_conv_metrics,
-        # ---- text analysis (2) — the 6 stat kernels are 3-4x green, tail ----
+        # ---- text analysis / curation (4) — the 6 stat kernels are 3-4x green, tail ----
         "dataset_split": q_dataset_split,                            # deterministic hash split
         "global_shuffle_index": q_global_shuffle_index,              # NEW r5: bucket-offset global order
+        "docs_source_cap": q_docs_source_cap,                        # NEW r5: skew-safe per-domain quota
+        "docs_hash_sample": q_docs_hash_sample,                      # NEW r5: deterministic hash sampling
         # ---- dedup pipeline stages (6) ----
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
@@ -1703,11 +1737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_moving_avg": q_events_range_moving_avg,        # RANGE frame
         "events_distinct_users_approx": q_events_distinct_users_approx,  # HLL hard gate
         "events_asof_join": q_events_asof_join,
-        # ---- 2-green relational backfill (3) — entry 50 ends here ----
+        # ---- entry 50 ends at docs_hash_sample: the three new curation
+        # ops displaced the 2-green q3/q5/q18 backfill into the tail ----
+        # ======= tail: 2-4x-green stable entries (demoted r5) =======
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
         "q18_large_orders": q_q18_large_orders,
-        # ======= tail: 3-4x-green stable entries (demoted r5) =======
         # every tail entry is exact-oracled and re-swept each round by
         # tools/contract_sweep.py -> BENCH/CONTRACT_SWEEP.md (committed)
         "q6_revenue_delta": q_q6_revenue_delta,
@@ -2313,6 +2348,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(row_number() OVER "
             "(ORDER BY md5(doc_id || chr(31) || 'v1')) - 1 AS BIGINT) AS seq "
             "FROM documents"
+        ),
+        "docs_source_cap": (
+            # naive one-window form; the Spark side runs the two-phase
+            # salted plan — same kept set by pigeonhole
+            "SELECT doc_id, source, n_chars FROM ("
+            "SELECT doc_id, source, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5"
+        ),
+        "docs_hash_sample": (
+            # identical md5 -> 60-bit -> bucket arithmetic (chr(31) = the
+            # concat_ws separator), so the kept SET matches exactly
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(('0x' || substr(md5(doc_id || chr(31) || 's1'), 1, 15))::BIGINT) "
+            "% 1000000 < 250000"
         ),
         "repetition_stats": (
             # lines: trimmed, non-empty; bigrams: range(1, len) is
