@@ -283,6 +283,38 @@ class SnapshotTable:
         shutil.rmtree(stage, ignore_errors=True)
         return entries, df.schema.json()
 
+    def _conform(self, df: DataFrame, schema_json: Optional[str]) -> DataFrame:
+        """Align ``df`` to the table schema: columns the evolved schema
+        added but ``df`` lacks become typed NULLs (the add-column
+        contract), order follows the table, unknown or type-mismatched
+        columns raise (widen via ``add_columns`` first — a silent write
+        would regress the schema for every later reader)."""
+        from pyspark.sql import functions as F
+
+        if not schema_json:
+            return df
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        table_fields = {f.name: f for f in schema.fields}
+        extra = [c for c in df.columns if c not in table_fields]
+        if extra:
+            raise ValueError(
+                f"columns {extra} not in table schema — evolve with add_columns first"
+            )
+        df_fields = {f.name: f for f in df.schema.fields}
+        out = []
+        for f in schema.fields:
+            got = df_fields.get(f.name)
+            if got is None:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif got.dataType != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r}: df type {got.dataType.simpleString()} != "
+                    f"table type {f.dataType.simpleString()}"
+                )
+            else:
+                out.append(F.col(f.name))
+        return df.select(*out)
+
     def append(
         self,
         df: DataFrame,
@@ -301,6 +333,9 @@ class SnapshotTable:
         the hook that lets ``observe()`` metrics from the write pass land
         inside the commit manifest itself (metrics alongside the commit,
         the north-rule lineage shape)."""
+        cur0 = self.current_seq()
+        if cur0 is not None:
+            df = self._conform(df, self.manifest(cur0).get("schema"))
         new_files, schema_json = self._stage_df(df)
         if summary_fn is not None:
             summary = {**(summary or {}), **summary_fn()}
@@ -512,6 +547,53 @@ class SnapshotTable:
             expected_parent=cur,
         )
 
+    # ---------------------------------------------------------------- evolve
+
+    def add_columns(
+        self, cols: List[Tuple[str, str]], summary: Optional[dict] = None
+    ) -> int:
+        """Metadata-only schema evolution (Iceberg ``ALTER TABLE ADD
+        COLUMN``): record a widened schema in a new commit; ZERO data
+        files are rewritten.
+
+        ``cols``: [(name, spark_type_name)], e.g. ("score", "double").
+        Readers reconcile old files lazily — the scan applies the
+        table schema, and parquet files missing a column yield NULL for
+        it (the add-column-means-null contract).  New appends carry the
+        column physically.  At 100 TB this is the only viable way to add
+        a column: a rewrite would be a full-table job for what is
+        logically a catalog edit.
+
+        Dropping/renaming is intentionally absent: without Iceberg's
+        field-IDs, a rename would silently orphan old data (name-based
+        resolution), so the honest subset is additive-only.
+        """
+        cur = self.current_seq()
+        if cur is None:
+            raise ValueError("cannot evolve an empty table (no recorded schema)")
+        m = self.manifest(cur)
+        if not m.get("schema"):
+            raise ValueError("table has no recorded schema to evolve")
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        existing = {f.name for f in schema.fields}
+        for name, _ in cols:
+            if name in existing:
+                raise ValueError(f"column {name!r} already exists")
+        for name, typ in cols:
+            schema = schema.add(name, typ, True)
+        carried = {k: v for k, v in m.get("summary", {}).items() if k == "stream_max_epoch"}
+        return self.commit(
+            [FileEntry.from_json(d) for d in m["files"]],
+            "evolve",
+            summary={
+                **carried,
+                **(summary or {}),
+                "added_columns": [list(c) for c in cols],
+            },
+            schema_json=schema.json(),
+            expected_parent=cur,
+        )
+
     # ------------------------------------------------------------------- merge
 
     def merge(
@@ -570,7 +652,7 @@ class SnapshotTable:
         # stats cut (min/max of the leading key; count/distinct for the dup
         # check rides the same single-row collect)
         lead = key_cols[0]
-        src = source.persist()
+        src = self._conform(source, m.get("schema")).persist()
         agg = src.agg(
             F.min(lead).alias("lo"),
             F.max(lead).alias("hi"),

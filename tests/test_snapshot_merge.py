@@ -157,3 +157,62 @@ def test_merge_incremental_read_contract(spark, table):
     )
     with pytest.raises(ValueError, match="non-append"):
         table.read_changes(spark, after_seq=2)
+
+
+# ---------------------------------------------------------------- evolution
+
+
+def test_add_columns_metadata_only(spark, table):
+    """Schema evolution rewrites ZERO files; old rows read as NULL in the
+    new column; new appends carry it; time travel shows the old schema."""
+    before = _paths(table)
+    seq = table.add_columns([("score", "double")])
+    m = table.manifest(seq)
+    assert m["operation"] == "evolve" and _paths(table) == before  # no rewrite
+    df = table.read(spark)
+    assert df.columns == ["k", "tag", "score"]
+    assert df.filter(F.col("score").isNull()).count() == 30  # old files -> NULL
+    # new append carries the column physically
+    table.append(
+        spark.createDataFrame([Row(k=100, tag="n", score=0.5)],
+                              "k int, tag string, score double")
+    )
+    got = dict((r.k, r.score) for r in table.read(spark).collect())
+    assert got[100] == 0.5 and got[5] is None
+    # time travel: pre-evolution snapshot keeps the 2-column schema
+    assert table.read(spark, seq=3).columns == ["k", "tag"]
+
+
+def test_append_conforms_to_evolved_schema(spark, table):
+    """An append still shaped like the OLD schema after evolution is
+    null-filled, not silently schema-regressing; unknown columns and type
+    mismatches raise."""
+    table.add_columns([("score", "double")])
+    table.append(_batch(spark, 100, 103, "z"))  # old 2-col shape: conformed
+    assert table.read(spark).columns == ["k", "tag", "score"]
+    assert (
+        table.read(spark).filter((F.col("k") >= 100) & F.col("score").isNull()).count()
+        == 3
+    )
+    with pytest.raises(ValueError, match="not in table schema"):
+        table.append(
+            spark.createDataFrame([Row(k=1, tag="a", rogue=1)],
+                                  "k int, tag string, rogue int")
+        )
+    with pytest.raises(ValueError, match="df type"):
+        table.append(
+            spark.createDataFrame([Row(k=1, tag="a", score="oops")],
+                                  "k int, tag string, score string")
+        )
+
+
+def test_add_columns_rejects_duplicates_and_merge_conforms(spark, table):
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_columns([("tag", "string")])
+    table.add_columns([("score", "double")])
+    # merge with an old-shape source: conformed, NULL score on the upsert
+    table.merge(
+        spark, spark.createDataFrame([Row(k=5, tag="up")], "k int, tag string"), ["k"]
+    )
+    got = {r.k: (r.tag, r.score) for r in table.read(spark).collect()}
+    assert got[5] == ("up", None) and len(got) == 30
