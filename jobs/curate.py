@@ -23,6 +23,10 @@ the ones each stage owns:
 6. **split**    (`dataset_split_col`) — deterministic train/val/test by
    content hash; written as `split=...` partitions so downstream readers
    partition-prune.
+7. **quota/sample** (optional; operators/sampling.py) —
+   `--max-turns-per-conv` caps any conversation's contribution (skew-safe
+   two-phase top-N by quality) and `--sample-rate` takes a deterministic
+   content-hash downsample (RNG-free, rerun-stable, salt-rotatable).
 
 Every stage's row counts ride ONE ``observe`` pass (no second scan) and
 land in a `_curation_summary.json` sidecar — the lineage/metrics analog
@@ -49,6 +53,9 @@ def build_curated(
     kept_observation=None,
     eval_df=None,
     decontam_n: int = 8,
+    max_turns_per_conv: int | None = None,
+    sample_rate: float | None = None,
+    sample_salt: str = "",
 ):
     """transcripts → curated per-turn records (pure plan builder, no I/O).
 
@@ -157,6 +164,31 @@ def build_curated(
             .join(bad, "_k", "left_anti")
             .drop("_k")
         )
+    if max_turns_per_conv:
+        # per-conversation quota: a 100k-turn agent loop shouldn't dominate
+        # the corpus — keep the N highest-quality turns per conv via the
+        # skew-safe two-phase cap (operators/sampling.py): the hot conv
+        # spreads over 32 salt buckets before the exact per-conv window
+        from table_ocr_spark.operators.sampling import cap_per_key
+
+        deduped = cap_per_key(
+            deduped.withColumn(
+                "_cap_id",
+                F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
+            ),
+            "conv_id",
+            [F.col("quality").desc()],
+            id_col="_cap_id",
+            n=max_turns_per_conv,
+        ).drop("_cap_id")
+    if sample_rate is not None and sample_rate < 1.0:
+        # deterministic downsample keyed on the CONTENT fingerprint:
+        # RNG-free (same set every rerun), repartition-stable, monotone in
+        # rate, and duplicate-safe — any fingerprint collisions surviving
+        # upstream co-sample by construction.  Pure JVM filter, no shuffle.
+        from table_ocr_spark.operators.sampling import hash_sample
+
+        deduped = hash_sample(deduped, "fingerprint", sample_rate, sample_salt)
     return deduped
 
 
@@ -175,6 +207,21 @@ def main(argv=None) -> int:
         "an n-token window with any eval doc are dropped",
     )
     ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument(
+        "--max-turns-per-conv",
+        type=int,
+        default=0,
+        help="keep at most N highest-quality turns per conversation "
+        "(0 = no cap; skew-safe two-phase top-N)",
+    )
+    ap.add_argument(
+        "--sample-rate",
+        type=float,
+        default=1.0,
+        help="deterministic content-hash downsample of the curated set "
+        "(1.0 = keep all; same kept set every rerun)",
+    )
+    ap.add_argument("--sample-salt", default="", help="rotate for an independent re-draw")
     ap.add_argument(
         "--snapshot",
         action="store_true",
@@ -222,6 +269,9 @@ def main(argv=None) -> int:
         kept_observation=obs_kept,
         eval_df=eval_df,
         decontam_n=args.decontam_ngram,
+        max_turns_per_conv=args.max_turns_per_conv or None,
+        sample_rate=args.sample_rate,
+        sample_salt=args.sample_salt,
     )
     # stage metrics ride the single write pass via observe — no extra scan
     obs = Observation("curation")

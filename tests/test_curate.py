@@ -193,3 +193,52 @@ def test_curate_snapshot_mode_commits_atomic_history(spark, tmp_path, monkeypatc
     strict = {(r.conv_id, r.turn_idx) for r in strict_df.select("conv_id", "turn_idx").collect()}
     assert strict <= lax and len(strict) == h[1]["summary"]["rows_out"]
     assert strict_df.filter(F.col("quality") < 0.45).count() == 0
+
+
+def test_curate_quota_and_sample(spark, tmp_path, monkeypatch):
+    """--max-turns-per-conv caps every conversation's contribution (best
+    quality kept) and --sample-rate takes a deterministic, rerun-stable
+    content-hash subsample of the capped set."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+
+    import jobs.curate as C
+
+    write_transcripts_parquet(
+        synth.gen_pandas(10, seed=3, max_long=60), str(tmp_path / "in")
+    )
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    common = ["--input", str(tmp_path / "in"), "--min-quality", "0.0"]
+
+    assert C.main(common + ["--output", str(tmp_path / "full")]) == 0
+    full = spark.read.parquet(str(tmp_path / "full" / "data"))
+
+    assert C.main(common + ["--output", str(tmp_path / "cap"),
+                            "--max-turns-per-conv", "5"]) == 0
+    cap = spark.read.parquet(str(tmp_path / "cap" / "data"))
+    per_conv = {r.conv_id: r["cnt"] for r in
+                cap.groupBy("conv_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert max(per_conv.values()) <= 5
+    assert any(v > 5 for r, v in
+               ((x, x["cnt"]) for x in
+                full.groupBy("conv_id").agg(F.count(F.lit(1)).alias("cnt")).collect()))
+    # kept turns are each conv's top-5 by (quality DESC, key ASC)
+    fq = {}
+    for r in full.select("conv_id", "turn_idx", "quality").collect():
+        fq.setdefault(r.conv_id, []).append((-r.quality, f"{r.conv_id}#{r.turn_idx}", r.turn_idx))
+    for conv, rows in fq.items():
+        want = {t[2] for t in sorted(rows)[:5]}
+        got = {r.turn_idx for r in cap.filter(F.col("conv_id") == conv).collect()}
+        assert got == want, conv
+
+    assert C.main(common + ["--output", str(tmp_path / "s1"),
+                            "--sample-rate", "0.5", "--sample-salt", "e0"]) == 0
+    assert C.main(common + ["--output", str(tmp_path / "s2"),
+                            "--sample-rate", "0.5", "--sample-salt", "e0"]) == 0
+    k = lambda d: {(r.conv_id, r.turn_idx) for r in
+                   spark.read.parquet(str(tmp_path / d / "data")).collect()}
+    s1, s2 = k("s1"), k("s2")
+    assert s1 == s2  # rerun-stable
+    assert s1 < k("full") and 0.3 < len(s1) / full.count() < 0.7
