@@ -129,16 +129,19 @@ def build_curated(
     # fingerprint group in one task; this form keeps full rows spread by
     # (fingerprint, conv, turn) — skew-safe — and the persist makes the
     # double reference one compute pass.)
-    reps = kept.groupBy("fingerprint").agg(
-        F.min(F.struct("conv_id", "turn_idx")).alias("_rep")
+    # NB: join by column NAMES, not kept.col == reps.col — reps derives
+    # from kept, so attribute-object equality degenerates to a trivially
+    # true self-comparison (Spark WARNs and drops the fingerprint key).
+    reps = (
+        kept.groupBy("fingerprint")
+        .agg(F.min(F.struct("conv_id", "turn_idx")).alias("_rep"))
+        .select(
+            "fingerprint",
+            F.col("_rep.conv_id").alias("conv_id"),
+            F.col("_rep.turn_idx").alias("turn_idx"),
+        )
     )
-    deduped = kept.join(
-        reps,
-        (kept.fingerprint == reps.fingerprint)
-        & (kept.conv_id == F.col("_rep.conv_id"))
-        & (kept.turn_idx == F.col("_rep.turn_idx")),
-        "left_semi",
-    )
+    deduped = kept.join(reps, ["fingerprint", "conv_id", "turn_idx"], "left_semi")
     deduped = deduped.withColumn("split", dataset_split_col("fingerprint"))
     if eval_df is not None:
         # benchmark-leak guard: drop any curated row sharing an n-token
