@@ -264,6 +264,16 @@ def minhash_lsh_pairs(
             .select("band", "bucket")
         )
         banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    # Explicit-width co-partitioning for the pair stage.  AQE coalesces
+    # shuffle reads by BYTES, and banded rows are tiny (key + 2 small
+    # cols) while the within-bucket join emits O(bucket²) pairs — bytes
+    # wildly underestimate compute density, and AQE was observed to fold
+    # the entire pairing onto 3 tasks (22 s CPU on 3.6 MB → zero scaling
+    # past ~4 cores).  repartition with an EXPLICIT count is exempt from
+    # AQE coalescing, keeps both join sides on one reused exchange, and
+    # inherits cluster sizing from spark.sql.shuffle.partitions.
+    n_part = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(n_part, "band", "bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
