@@ -20,10 +20,14 @@ the ones each stage owns:
 5. **dedup**    — exact content dedup: keep the min (conv_id, turn_idx)
    holder of each fingerprint (one map-side-combined aggregate +
    semi-join back — never a full-row groupBy).
-6. **split**    (`dataset_split_col`) — deterministic train/val/test by
+6. **near-dedup** (optional, `--near-dedup J`; operators/dedup.py) —
+   fuzzy dedup after the exact pass: MinHash LSH candidates (hot buckets
+   capped), exact word-Jaccard verify ≥ J on candidates only, connected
+   components, keep one representative per family.  Never all-pairs.
+7. **split**    (`dataset_split_col`) — deterministic train/val/test by
    content hash; written as `split=...` partitions so downstream readers
    partition-prune.
-7. **quota/sample** (optional; operators/sampling.py) —
+8. **quota/sample** (optional; operators/sampling.py) —
    `--max-turns-per-conv` caps any conversation's contribution (skew-safe
    two-phase top-N by quality) and `--sample-rate` takes a deterministic
    content-hash downsample (RNG-free, rerun-stable, salt-rotatable).
@@ -56,6 +60,8 @@ def build_curated(
     max_turns_per_conv: int | None = None,
     sample_rate: float | None = None,
     sample_salt: str = "",
+    near_dup_threshold: float | None = None,
+    near_dup_cap: int = 1000,
 ):
     """transcripts → curated per-turn records (pure plan builder, no I/O).
 
@@ -142,6 +148,35 @@ def build_curated(
         )
     )
     deduped = kept.join(reps, ["fingerprint", "conv_id", "turn_idx"], "left_semi")
+    if near_dup_threshold is not None:
+        # fuzzy dedup (RefinedWeb/Dolma-style), AFTER exact dedup so the
+        # LSH stage never hashes byte-identical copies: MinHash band
+        # buckets → candidate pairs (hot buckets capped — boilerplate
+        # can't go O(n²)) → exact word-Jaccard verify on candidates only
+        # → connected components → keep the component-min representative.
+        # Every join is keyed by the narrow composite turn key; the full
+        # text shuffles only for the candidate-pair verify projections.
+        from table_ocr_spark.operators.dedup import (
+            dedup_near_representatives,
+            minhash_lsh_pairs,
+            verify_pairs_jaccard,
+        )
+
+        with_k = deduped.withColumn(
+            "_k", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+        )
+        if persist_extracted:
+            # referenced by the LSH build, both verify text joins, and
+            # the final anti-join — persist or the exact-dedup semi-join
+            # subtree executes four times
+            with_k = with_k.persist(StorageLevel.MEMORY_AND_DISK)
+        cand = minhash_lsh_pairs(
+            with_k, "text", "_k", max_bucket_size=near_dup_cap
+        )
+        pairs = verify_pairs_jaccard(
+            cand, with_k, text="text", key="_k", threshold=near_dup_threshold
+        )
+        deduped = dedup_near_representatives(with_k, pairs, key="_k").drop("_k")
     deduped = deduped.withColumn("split", dataset_split_col("fingerprint"))
     if eval_df is not None:
         # benchmark-leak guard: drop any curated row sharing an n-token
@@ -226,6 +261,22 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--sample-salt", default="", help="rotate for an independent re-draw")
     ap.add_argument(
+        "--near-dedup",
+        type=float,
+        default=0.0,
+        help="fuzzy-dedup Jaccard threshold (0 = off): after exact dedup, "
+        "MinHash-LSH candidates verified by exact word-Jaccard >= J "
+        "collapse to one representative per near-dup family",
+    )
+    ap.add_argument(
+        "--near-dedup-cap",
+        type=int,
+        default=1000,
+        help="drop LSH buckets larger than this from pairing (bounds the "
+        "O(n^2) boilerplate-bucket blowup; dropped buckets are few and "
+        "auditable via lsh_oversized_buckets)",
+    )
+    ap.add_argument(
         "--snapshot",
         action="store_true",
         help="commit output through the snapshot log (sources/snapshots.py, "
@@ -275,6 +326,8 @@ def main(argv=None) -> int:
         max_turns_per_conv=args.max_turns_per_conv or None,
         sample_rate=args.sample_rate,
         sample_salt=args.sample_salt,
+        near_dup_threshold=args.near_dedup or None,
+        near_dup_cap=args.near_dedup_cap,
     )
     # stage metrics ride the single write pass via observe — no extra scan
     obs = Observation("curation")

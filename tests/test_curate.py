@@ -242,3 +242,58 @@ def test_curate_quota_and_sample(spark, tmp_path, monkeypatch):
     s1, s2 = k("s1"), k("s2")
     assert s1 == s2  # rerun-stable
     assert s1 < k("full") and 0.3 < len(s1) / full.count() < 0.7
+
+
+def test_curate_near_dedup(spark, tmp_path, monkeypatch):
+    """--near-dedup collapses near-identical (but not byte-identical)
+    turns to one representative per family; dissimilar turns survive."""
+    import pandas as pd
+
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+
+    import jobs.curate as C
+
+    pdf = synth.gen_pandas(6, seed=7, max_long=30)
+    ts = pdf["ts"].iloc[0]
+    base = (
+        "the quarterly revenue report shows strong growth across all "
+        "regions with particular strength in the northern market segment "
+        "where sales doubled compared to the previous fiscal year"
+    )
+    near = pd.DataFrame(
+        [
+            # family of 3 near-dups: one word appended/swapped — same
+            # shingle mass, Jaccard >> 0.5, NOT byte-identical post-strip
+            {"conv_id": "nd-a", "turn_idx": 0, "role": "user",
+             "text": base, "tool": "", "ts": ts},
+            {"conv_id": "nd-b", "turn_idx": 0, "role": "user",
+             "text": base + " indeed", "tool": "", "ts": ts},
+            {"conv_id": "nd-c", "turn_idx": 0, "role": "user",
+             "text": base.replace("doubled", "tripled"), "tool": "", "ts": ts},
+        ]
+    )
+    pdf = pd.concat([pdf, near], ignore_index=True)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    write_transcripts_parquet(pdf, str(tmp_path / "in"))
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    common = ["--input", str(tmp_path / "in"), "--min-quality", "0.0"]
+
+    assert C.main(common + ["--output", str(tmp_path / "plain")]) == 0
+    plain = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(
+        str(tmp_path / "plain" / "data")).select("conv_id", "turn_idx").collect()}
+    fams = {k for k in plain if k[0].startswith("nd-")}
+    assert len(fams) == 3  # exact dedup alone keeps all three variants
+
+    assert C.main(common + ["--output", str(tmp_path / "nd"),
+                            "--near-dedup", "0.5"]) == 0
+    nd = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(
+        str(tmp_path / "nd" / "data")).select("conv_id", "turn_idx").collect()}
+    kept_fam = {k for k in nd if k[0].startswith("nd-")}
+    # one deterministic representative (min key) per near-dup family
+    assert kept_fam == {("nd-a", 0)}
+    # near-dedup only ever removes rows, and unrelated turns survive
+    assert nd < plain
+    assert len(plain - nd) < 10  # it did not nuke distinct content
