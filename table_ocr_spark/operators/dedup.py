@@ -342,9 +342,7 @@ def simhash_near_dup_pairs(
         raise ValueError("pigeonhole requires max_hamming < bands")
     bpb = bits // bands
     mask = (1 << bpb) - 1
-    sim = df.select(
-        F.col(key).alias("k"), simhash_col(text, bits).alias("sh")
-    ).repartition("k")
+    sim = df.select(F.col(key).alias("k"), simhash_col(text, bits).alias("sh"))
     banded = sim.select(
         "k",
         "sh",
@@ -362,6 +360,16 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("k", "sh", "bb.band", "bb.bucket")
+    # explicit-width co-partitioning on the JOIN keys: one exchange both
+    # self-join sides reuse (the simhash projection computes once), the
+    # join needs no further shuffle, and — because the width is
+    # user-specified — AQE cannot byte-coalesce the O(bucket²) pair
+    # stage onto a handful of tasks (see minhash_lsh_pairs above).
+    banded = banded.repartition(
+        int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "band",
+        "bucket",
+    )
     a, b = banded.alias("a"), banded.alias("b")
     ham = hamming_col(F.col("a.sh"), F.col("b.sh"), bits)
     return (

@@ -271,9 +271,11 @@ def embedding_near_dup_lsh(
     matches exactly — the MinHash-banding shape on the random-hyperplane
     sketch.  Expected candidates for unrelated vectors shrink by
     ~2^-planes_per_band per band, so the exact cosine runs on a tiny set
-    instead of the O(n²) cross join.  The explicit repartition makes
-    ReuseExchange compute the bucket projection once for both self-join
-    sides.  Output: (key_a, key_b, cos_sim rounded to 4dp) with
+    instead of the O(n²) cross join.  The explicit-width repartition on
+    the join keys makes ReuseExchange compute the bucket projection once
+    for both self-join sides AND pins the pair stage's task count
+    against AQE byte-coalescing.  Output: (key_a, key_b, cos_sim
+    rounded to 4dp) with
     cos_sim ≥ threshold (compared on the ROUNDED value, so the decision
     is engine-portable)."""
     sig = df.select(
@@ -285,7 +287,7 @@ def embedding_near_dup_lsh(
             )
             for b in range(bands)
         ],
-    ).repartition("k")
+    )
     banded = sig.select(
         "k",
         "v",
@@ -298,6 +300,17 @@ def embedding_near_dup_lsh(
             )
         ).alias("bb"),
     ).select("k", "v", "bb.band", "bb.bucket")
+    # explicit-width co-partitioning on the JOIN keys: the hyperplane
+    # projection computes once under a single reused exchange, and the
+    # user-specified width keeps AQE from byte-coalescing the
+    # O(bucket²) pair stage onto a few tasks (the banded rows are tiny
+    # in bytes but explode quadratically in compute — see
+    # dedup.minhash_lsh_pairs / BENCH/MINHASH_SCALING.md).
+    banded = banded.repartition(
+        int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "band",
+        "bucket",
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cos = cosine_col(
         F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")
