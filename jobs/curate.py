@@ -35,6 +35,20 @@ the ones each stage owns:
 Every stage's row counts ride ONE ``observe`` pass (no second scan) and
 land in a `_curation_summary.json` sidecar — the lineage/metrics analog
 of the extract job's per-bucket manifest.
+
+**Incremental mode** (`--input-snapshot --incremental`, requires
+`--snapshot` output): the 100-TB operating pattern — the input is a
+snapshot-log table fed by append commits (e.g. daily crawl drops), and
+each curation run processes ONLY the files appended since the last run:
+the consumed input seq is recorded in the output commit's manifest, the
+next run resumes from it via ``read_changes`` (file-list set
+difference — zero data reads for already-processed files), new rows are
+exact-deduped against the EXISTING output by a fingerprint anti-join
+(column-pruned scan: only the fingerprint column of the curated table is
+read), and the result lands as one atomic append.  Per-increment stages
+(conv-boilerplate frequencies, quotas, near-dedup families) see only the
+increment — the standard incremental-pipeline contract; run a full
+non-incremental pass when cross-increment fuzzy collapse is required.
 """
 
 from __future__ import annotations
@@ -277,6 +291,22 @@ def main(argv=None) -> int:
         "auditable via lsh_oversized_buckets)",
     )
     ap.add_argument(
+        "--input-snapshot",
+        action="store_true",
+        help="treat --input as a snapshot-log table root (sources/"
+        "snapshots.py) and read it snapshot-isolated instead of as a "
+        "raw parquet directory",
+    )
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="process only input files appended since the last "
+        "incremental run (seq recorded in the output commit manifest), "
+        "anti-join new fingerprints against the existing curated "
+        "output, and append atomically; requires --input-snapshot and "
+        "--snapshot",
+    )
+    ap.add_argument(
         "--snapshot",
         action="store_true",
         help="commit output through the snapshot log (sources/snapshots.py, "
@@ -296,11 +326,47 @@ def main(argv=None) -> int:
 
     cfg = _resolve_config(args.config, None)
     langs = [x for x in args.langs.split(",") if x]
+    if args.incremental and not (args.input_snapshot and args.snapshot):
+        raise SystemExit("--incremental requires --input-snapshot and --snapshot")
     spark = build_session(app_name="curate", cores=args.cores)
 
     from pyspark.sql import Observation
 
-    src = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
+    in_seq = None
+    out_table = None
+    if args.input_snapshot:
+        from table_ocr_spark.sources.snapshots import SnapshotTable
+
+        in_table = SnapshotTable(args.input)
+        in_seq = in_table.current_seq()
+        if in_seq is None:
+            raise SystemExit(f"input snapshot table at {args.input} is empty")
+        if args.incremental:
+            out_table = SnapshotTable(os.path.join(args.output, "table"))
+            # resume point: newest output commit that recorded a consumed
+            # input seq (driver-side manifest walk, no data reads)
+            after_seq = 0
+            for h in reversed(out_table.history()):
+                if "input_seq_processed" in h["summary"]:
+                    after_seq = int(h["summary"]["input_seq_processed"])
+                    break
+            if after_seq >= in_seq:
+                summary = {
+                    "input": args.input,
+                    "output": args.output,
+                    "input_seq_processed": after_seq,
+                    "rows_in": 0,
+                    "rows_out": 0,
+                    "no_new_input": True,
+                }
+                print(json.dumps(summary, default=str))
+                spark.stop()
+                return 0
+            src = in_table.read_changes(spark, after_seq=after_seq, until_seq=in_seq)
+        else:
+            src = in_table.read(spark, seq=in_seq)
+    else:
+        src = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
     # rows_in rides the SAME write action as the output metrics: observe on
     # the pre-filter frame, not a post-write src.count() (which would be a
     # second input job — a material extra pass at the 100 TB design point).
@@ -329,6 +395,16 @@ def main(argv=None) -> int:
         near_dup_threshold=args.near_dedup or None,
         near_dup_cap=args.near_dedup_cap,
     )
+    if out_table is not None and out_table.current_seq() is not None:
+        # cross-increment exact dedup: a new row whose content already
+        # lives in the curated table is dropped.  The existing output is
+        # scanned column-pruned (fingerprint only — kilobytes per file at
+        # any scale thanks to parquet projection) and the anti-join's
+        # build side is the INCREMENT, which is the small side by
+        # construction in steady state.
+        prev_fp = out_table.read(spark).select("fingerprint")
+        curated = curated.join(prev_fp, "fingerprint", "left_anti")
+
     # stage metrics ride the single write pass via observe — no extra scan
     obs = Observation("curation")
     # NB: observe() metrics must be DISTINCT-free aggregates; fingerprint
@@ -358,6 +434,8 @@ def main(argv=None) -> int:
             **obs.get,
         }
         m["dedup_collapsed"] = m["rows_kept"] - m["rows_out"]
+        if in_seq is not None:
+            m["input_seq_processed"] = in_seq
         return m
 
     if args.snapshot:
@@ -369,7 +447,7 @@ def main(argv=None) -> int:
         # cost the atomicity does not require).
         from table_ocr_spark.sources.snapshots import SnapshotTable
 
-        table = SnapshotTable(os.path.join(args.output, "table"))
+        table = out_table or SnapshotTable(os.path.join(args.output, "table"))
         seq = table.append(curated, summary_fn=_metrics)
         summary = dict(table.manifest(seq)["summary"])
         summary["snapshot_seq"] = seq
