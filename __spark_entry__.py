@@ -590,6 +590,24 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH: docs with doc_id % 10 == 0 play the NEW increment,
+    the rest the already-curated history whose persisted band INDEX
+    (``lsh_banded`` — key + band + bucket, a few bytes per doc per band)
+    stands in for its text; candidates come from one (band, bucket)
+    equi-join of increment bands against the index — the jobs/curate.py
+    --incremental --near-dedup pattern as a gateable operator query."""
+    from table_ocr_spark.operators.dedup import lsh_banded, lsh_pairs_against
+
+    d = _docs(spark, sf_dir)
+    return lsh_pairs_against(
+        d.filter(F.col("doc_id") % 10 == 0),
+        lsh_banded(d.filter(F.col("doc_id") % 10 != 0)),
+        "text",
+        "doc_id",
+    )
+
+
 def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-bucket-capped LSH: 60 injected clones of one boilerplate page
     form a bucket of 60 in every band (the pathological near-identical-
@@ -1686,16 +1704,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_intersect": q_customer_intersect,                  # NEW r5: ANSI INTERSECT
         "customer_except": q_customer_except,                        # NEW r5: ANSI EXCEPT
         "returnflag_cube": q_returnflag_cube,                        # CUBE + grouping_id
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q10_returned_revenue": q_q10_returned_revenue,
         "q13_customer_distribution": q_q13_customer_distribution,    # left-outer + agg-before-join
         "q22_idle_customers": q_q22_idle_customers,                  # broadcast scalar + anti join
-        "promo_revenue_share": q_promo_revenue_share,
-        "brand_revenue": q_brand_revenue,
-        "top_revenue_orders": q_top_revenue_orders,
         "event_value_percentiles": q_event_value_percentiles,
         "event_value_percentiles_approx": q_event_value_percentiles_approx,  # t-digest hard gate
-        "returnflag_rollup": q_returnflag_rollup,
         # ---- extraction kernels + export artifacts (12) ----
         "extract_html_mode_ratio": q_extract_html_mode_ratio,
         "extract_md_spans": q_extract_md_spans,
@@ -1714,13 +1726,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle_index": q_global_shuffle_index,              # NEW r5: bucket-offset global order
         "docs_source_cap": q_docs_source_cap,                        # NEW r5: skew-safe per-domain quota
         "docs_hash_sample": q_docs_hash_sample,                      # NEW r5: deterministic hash sampling
-        # ---- dedup pipeline stages (6) ----
+        "repetition_stats": q_repetition_stats,                      # NEW r5: Gopher-style repetition signals
+        "decontaminate_eval": q_decontaminate_eval,                  # NEW r5: train/eval n-gram decontamination
+        "pack_sequences": q_pack_sequences,                          # NEW r5: token-budget sequence packing
+        "rebalance_mixture": q_rebalance_mixture,                    # NEW r5: deterministic mixture rebalancing
+        "ngram_lm_score": q_ngram_lm_score,                          # NEW r5: corpus bigram-LM quality score
+        # ---- dedup pipeline stages (7) ----
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_near_keep": q_dedup_near_keep,
         "near_dup_components": q_near_dup_components,                # iterative CC — keep gated
         "minhash_lsh_capped": q_minhash_lsh_capped,                  # hot-bucket cap — keep gated
+        "minhash_lsh_pairs_incremental": q_minhash_lsh_pairs_incremental,  # NEW r5: banded-index join
         "near_dup_verified": q_near_dup_verified,
         # ---- similarity / ANN (2) ----
         "embedding_near_dup": q_embedding_near_dup,
@@ -1770,11 +1788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
-        "repetition_stats": q_repetition_stats,                      # NEW r5: Gopher-style repetition signals
-        "decontaminate_eval": q_decontaminate_eval,                  # NEW r5: train/eval n-gram decontamination
-        "pack_sequences": q_pack_sequences,                          # NEW r5: token-budget sequence packing
-        "rebalance_mixture": q_rebalance_mixture,                    # NEW r5: deterministic mixture rebalancing
-        "ngram_lm_score": q_ngram_lm_score,                          # NEW r5: corpus bigram-LM quality score
+        # demoted r5: 3-4x driver-green head entries, now sweep-covered
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "promo_revenue_share": q_promo_revenue_share,
+        "brand_revenue": q_brand_revenue,
+        "top_revenue_orders": q_top_revenue_orders,
+        "returnflag_rollup": q_returnflag_rollup,
     }
 
 
@@ -2213,6 +2233,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_signature": f"SELECT doc_id, {sig_expr} AS sig FROM documents",
         "minhash_lsh_pairs": lsh_pairs_sql,
+        "minhash_lsh_pairs_incremental": (
+            # NEW increment = doc_id % 10 == 0, history = the rest; same
+            # signature/banding arithmetic, asymmetric join (new × old)
+            f"WITH sigs AS (SELECT doc_id, {_sql_minhash_sig_list()} AS sig FROM documents), "
+            f"banded AS ({band_bucket}) "
+            "SELECT DISTINCT a.doc_id AS key_new, b.doc_id AS key_old "
+            "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+            "WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0"
+        ),
         "near_dup_components": (
             f"WITH RECURSIVE pairs AS ({lsh_pairs_sql}), "
             "edges AS (SELECT key_a AS src, key_b AS dst FROM pairs "

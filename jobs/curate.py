@@ -244,6 +244,41 @@ def build_curated(
     return deduped
 
 
+def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
+    """Bring the LSH-index sidecar table up to the curated data table's
+    current seq: band ONLY the data increments the index does not cover
+    yet (``read_changes`` — zero reads of already-indexed files) and
+    append them with the covered data seq in the commit summary.
+
+    Idempotent and crash-healing: a run that died between its data
+    append and its index append leaves the index behind by one seq, and
+    the next run's sync closes the gap before using the index — the
+    index can lag (briefly missing candidates) but never lies."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.dedup import lsh_banded
+
+    cur = out_table.current_seq()
+    if cur is None:
+        return
+    covered = 0
+    for h in reversed(index_table.history()):
+        if "data_seq" in h["summary"]:
+            covered = int(h["summary"]["data_seq"])
+            break
+    if covered >= cur:
+        return
+    rows = out_table.read_changes(spark, after_seq=covered, until_seq=cur)
+    with_k = rows.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("_k"),
+        "text",
+    )
+    index_table.append(
+        lsh_banded(with_k, text="text", key="_k", k=k, bands=bands, shingle_n=shingle_n),
+        summary={"data_seq": cur},
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="training-data curation job")
     ap.add_argument("--input", required=True, help="transcripts parquet dir")
@@ -405,6 +440,63 @@ def main(argv=None) -> int:
         prev_fp = out_table.read(spark).select("fingerprint")
         curated = curated.join(prev_fp, "fingerprint", "left_anti")
 
+    if out_table is not None and args.near_dedup:
+        # cross-increment NEAR-dedup via the persisted LSH band index:
+        # history participates as (key, band, bucket) rows — a few bytes
+        # per doc per band — so each run shingles/hashes ONLY the
+        # increment, equi-joins its bands against the index, verifies
+        # exact Jaccard on candidates (old texts fetched key-pruned from
+        # the curated table), and drops new rows near-matching history
+        # (the existing representative wins — rerun-stable by design).
+        from pyspark import StorageLevel
+        from table_ocr_spark.operators.dedup import (
+            lsh_pairs_against,
+            verify_pairs_jaccard,
+        )
+        from table_ocr_spark.sources.snapshots import SnapshotTable
+
+        idx_table = SnapshotTable(os.path.join(args.output, "lsh_index"))
+        _sync_lsh_index(spark, out_table, idx_table)
+        if idx_table.current_seq() is not None:
+            with_k = curated.withColumn(
+                "_k", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # persist: referenced by the candidate build, the verify text
+            # join, and the final anti-join — uncached, the whole
+            # extract→score→dedup chain would execute three times
+            cand = lsh_pairs_against(
+                with_k,
+                idx_table.read(spark),
+                text="text",
+                key="_k",
+                max_bucket_size=args.near_dedup_cap,
+            )
+            old_texts = (
+                out_table.read(spark)
+                .select(
+                    F.concat_ws(
+                        "#", "conv_id", F.col("turn_idx").cast("string")
+                    ).alias("_k"),
+                    "text",
+                )
+                .join(
+                    cand.select(F.col("key_old").alias("_k")).distinct(),
+                    "_k",
+                    "left_semi",
+                )
+            )
+            pairs = verify_pairs_jaccard(
+                cand.select(
+                    F.col("key_new").alias("key_a"), F.col("key_old").alias("key_b")
+                ),
+                with_k.select("_k", "text").unionByName(old_texts),
+                text="text",
+                key="_k",
+                threshold=args.near_dedup,
+            )
+            drop = pairs.select(F.col("key_a").alias("_k")).distinct()
+            curated = with_k.join(drop, "_k", "left_anti").drop("_k")
+
     # stage metrics ride the single write pass via observe — no extra scan
     obs = Observation("curation")
     # NB: observe() metrics must be DISTINCT-free aggregates; fingerprint
@@ -451,6 +543,11 @@ def main(argv=None) -> int:
         seq = table.append(curated, summary_fn=_metrics)
         summary = dict(table.manifest(seq)["summary"])
         summary["snapshot_seq"] = seq
+        if args.incremental and args.near_dedup:
+            # index the rows this run just committed (reads back only the
+            # new files, key+text pruned); a crash before this line just
+            # leaves the index one seq behind — the next run's sync heals
+            _sync_lsh_index(spark, table, SnapshotTable(os.path.join(args.output, "lsh_index")))
     else:
         (
             curated.write.mode("overwrite")

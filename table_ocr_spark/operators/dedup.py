@@ -283,6 +283,81 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_banded(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Public (key, band, bucket) banding — the persistable LSH INDEX of a
+    corpus.  An incremental pipeline appends this frame for each data
+    increment into a sidecar table (keys + two small columns — a few
+    bytes/row/band regardless of text size), so later increments can find
+    near-dup candidates against the WHOLE history by one equi-join on
+    (band, bucket) instead of re-banding 100 TB of text per run (see
+    ``lsh_pairs_against`` and jobs/curate.py --incremental)."""
+    return _lsh_banded(df, text, key, k, bands, shingle_n).select(
+        F.col("k").alias(key), "band", "bucket"
+    )
+
+
+def lsh_pairs_against(
+    new_df: DataFrame,
+    index: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs of NEW docs against an EXISTING banded
+    index (``lsh_banded`` output: (key, band, bucket)): the incremental
+    half of MinHash LSH — only the increment's text is shingled and
+    hashed; history participates as its tiny pre-banded index rows.
+
+    Output: (key_new, key_old) distinct — one row per new doc ×
+    colliding indexed doc.  Asymmetric by design: new×new pairing is the
+    ordinary ``minhash_lsh_pairs`` over the increment, run separately.
+
+    ``max_bucket_size`` caps the per-bucket pair blowup exactly like the
+    self-join form, but sided: a bucket is dropped when EITHER side holds
+    more than the cap (the pair count is n_new × n_old, so either side
+    being pathological is enough; both count aggregates are map-side
+    combined and the few oversized buckets broadcast as anti-joins).
+
+    Scale shape: both sides repartition by (band, bucket) at the explicit
+    shuffle width — the same AQE-coalescing exemption as
+    ``minhash_lsh_pairs`` (bytes wildly underestimate the pair stage's
+    compute density; see that docstring)."""
+    new_banded = _lsh_banded(new_df, text, key, k, bands, shingle_n)
+    old_banded = index.select(F.col(key).alias("k"), "band", "bucket")
+    if max_bucket_size is not None:
+        for side in (new_banded, old_banded):
+            oversized = (
+                side.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("_bsz"))
+                .filter(F.col("_bsz") > max_bucket_size)
+                .select("band", "bucket")
+            )
+            new_banded = new_banded.join(
+                F.broadcast(oversized), ["band", "bucket"], "left_anti"
+            )
+            old_banded = old_banded.join(
+                F.broadcast(oversized), ["band", "bucket"], "left_anti"
+            )
+    n_part = int(new_banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = new_banded.repartition(n_part, "band", "bucket").alias("a")
+    b = old_banded.repartition(n_part, "band", "bucket").alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .select(F.col("a.k").alias("key_new"), F.col("b.k").alias("key_old"))
+        .distinct()
+    )
+
+
 def lsh_oversized_buckets(
     df: DataFrame,
     text: str = "text",

@@ -372,3 +372,79 @@ def test_curate_incremental_processes_only_appended_files(spark, tmp_path, monke
     # run 3: no new input → metadata-only no-op, history unchanged
     assert C.main(args) == 0
     assert [e["seq"] for e in out_table.history()] == [1, 2]
+
+
+def test_curate_incremental_near_dedup_against_history(spark, tmp_path, monkeypatch):
+    """--incremental --near-dedup: a batch-2 row that is a NEAR (not
+    byte-identical) duplicate of batch-1 content is dropped via the
+    persisted LSH band index — only the increment is shingled; history
+    joins as its pre-banded index rows.  The index sidecar tracks the
+    data table seq and the sync is idempotent."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def tx(pdf):
+        pdf = pdf.copy()
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = (
+        "the quarterly revenue report shows strong growth across all "
+        "regions with particular strength in the northern market segment "
+        "where sales doubled compared to the previous fiscal year"
+    )
+    in_root, out_root = str(tmp_path / "in"), str(tmp_path / "out")
+    in_table = SnapshotTable(in_root)
+    batch1 = synth.gen_pandas(4, seed=13, max_long=25)
+    ts = batch1["ts"].iloc[0]
+    batch1 = pd.concat([batch1, pd.DataFrame([{
+        "conv_id": "xnd-base", "turn_idx": 0, "role": "user",
+        "text": base, "tool": "", "ts": ts,
+    }])], ignore_index=True)
+    in_table.append(tx(batch1))
+
+    args = ["--input", in_root, "--output", out_root, "--min-quality", "0.0",
+            "--input-snapshot", "--incremental", "--snapshot",
+            "--near-dedup", "0.5"]
+    assert C.main(args) == 0
+    out_table = SnapshotTable(str(tmp_path / "out" / "table"))
+    assert out_table.read(spark).filter(F.col("conv_id") == "xnd-base").count() == 1
+    idx_table = SnapshotTable(str(tmp_path / "out" / "lsh_index"))
+    # index covers the run-1 data commit, one band row set per kept row
+    assert idx_table.history()[-1]["summary"]["data_seq"] == 1
+    idx_rows_1 = idx_table.read(spark).count()
+    assert idx_rows_1 > 0
+
+    # batch 2: a near-dup of batch-1 content (word appended — same
+    # shingle mass, Jaccard > 0.5, different fingerprint) + fresh convs
+    batch2 = synth.gen_pandas(3, seed=91, max_long=25)
+    batch2 = pd.concat([batch2, pd.DataFrame([{
+        "conv_id": "xnd-near", "turn_idx": 0, "role": "user",
+        "text": base + " indeed", "tool": "", "ts": ts,
+    }])], ignore_index=True)
+    in_table.append(tx(batch2))
+
+    assert C.main(args) == 0
+    cur = out_table.read(spark)
+    # the near-dup dropped against HISTORY (exact anti-join can't see it:
+    # fingerprints differ), the batch-1 representative survives
+    assert cur.filter(F.col("conv_id") == "xnd-near").count() == 0
+    assert cur.filter(F.col("conv_id") == "xnd-base").count() == 1
+    # fresh batch-2 content landed
+    assert cur.filter(F.col("conv_id").isin(
+        [c for c in batch2["conv_id"].unique() if c != "xnd-near"])).count() > 0
+    # index advanced to cover data seq 2 and grew by the kept increment
+    assert idx_table.history()[-1]["summary"]["data_seq"] == 2
+    assert idx_table.read(spark).count() > idx_rows_1
+    # sync is idempotent: already-covered → no new index commit
+    n_commits = len(idx_table.history())
+    C._sync_lsh_index(spark, out_table, idx_table)
+    assert len(idx_table.history()) == n_commits

@@ -283,3 +283,44 @@ def test_near_dup_components_reliable_checkpoint_and_interval(spark):
     # checkpoint files actually landed in the reliable store
     d = ckpt.get().replace("file:", "")
     assert os.path.isdir(d) and any(os.scandir(d))
+
+
+def test_lsh_pairs_against_matches_self_join_cross_pairs(spark):
+    """Incremental LSH (new docs vs a persisted band index) emits exactly
+    the cross-frame subset of the full self-join's candidate pairs, and
+    the sided bucket cap drops a bucket oversized on EITHER side."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.dedup import (
+        lsh_banded,
+        lsh_pairs_against,
+        minhash_lsh_pairs,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta",
+        "one two three four five six seven", "one two three four five six eight",
+        "totally unrelated content lives here now", "more unrelated words in this row",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (100 + i, texts[i % 2]) for i in range(4)  # exact clones across the split
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    new = d.filter(F.col("doc_id") >= 100)
+    old = d.filter(F.col("doc_id") < 100)
+
+    got = {(r.key_new, r.key_old) for r in lsh_pairs_against(new, lsh_banded(old)).collect()}
+    want = set()
+    for r in minhash_lsh_pairs(d).collect():
+        if r.key_a >= 100 and r.key_b < 100:
+            want.add((r.key_a, r.key_b))
+        elif r.key_b >= 100 and r.key_a < 100:
+            want.add((r.key_b, r.key_a))
+    assert got == want and got  # non-empty and exactly the cross subset
+
+    # sided cap: the clone family's bucket holds 4 new + 2 old members —
+    # cap 3 drops it from the NEW side, so those pairs vanish while the
+    # under-cap pairs survive
+    capped = {(r.key_new, r.key_old) for r in
+              lsh_pairs_against(new, lsh_banded(old), max_bucket_size=3).collect()}
+    assert capped < got
