@@ -590,6 +590,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-form LSH candidates (the 100-TB near-dedup shape): each
+    (band, bucket) emits (min-member, member) edges — O(n) per bucket vs
+    the self-join's O(n²); measured 33.5M → <1M pairs on the sf0.1
+    transcript corpus (operators/dedup.py minhash_lsh_star_pairs)."""
+    from table_ocr_spark.operators.dedup import minhash_lsh_star_pairs
+
+    return minhash_lsh_star_pairs(
+        _with_dups(_docs(spark, sf_dir)), "text", "doc_id", k=8, bands=4, shingle_n=2
+    )
+
+
 def q_minhash_lsh_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH: docs with doc_id % 10 == 0 play the NEW increment,
     the rest the already-curated history whose persisted band INDEX
@@ -1704,7 +1716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_intersect": q_customer_intersect,                  # NEW r5: ANSI INTERSECT
         "customer_except": q_customer_except,                        # NEW r5: ANSI EXCEPT
         "returnflag_cube": q_returnflag_cube,                        # CUBE + grouping_id
-        "q13_customer_distribution": q_q13_customer_distribution,    # left-outer + agg-before-join
         "q22_idle_customers": q_q22_idle_customers,                  # broadcast scalar + anti join
         "event_value_percentiles": q_event_value_percentiles,
         "event_value_percentiles_approx": q_event_value_percentiles_approx,  # t-digest hard gate
@@ -1739,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,                # iterative CC — keep gated
         "minhash_lsh_capped": q_minhash_lsh_capped,                  # hot-bucket cap — keep gated
         "minhash_lsh_pairs_incremental": q_minhash_lsh_pairs_incremental,  # NEW r5: banded-index join
+        "minhash_lsh_star": q_minhash_lsh_star,                      # NEW r5: O(n)-per-bucket star form
         "near_dup_verified": q_near_dup_verified,
         # ---- similarity / ANN (2) ----
         "embedding_near_dup": q_embedding_near_dup,
@@ -1789,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
         # demoted r5: 3-4x driver-green head entries, now sweep-covered
+        "q13_customer_distribution": q_q13_customer_distribution,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q10_returned_revenue": q_q10_returned_revenue,
         "promo_revenue_share": q_promo_revenue_share,
@@ -2233,6 +2246,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_signature": f"SELECT doc_id, {sig_expr} AS sig FROM documents",
         "minhash_lsh_pairs": lsh_pairs_sql,
+        "minhash_lsh_star": (
+            # pivot = per-(band,bucket) min key; one edge per non-pivot member
+            f"WITH docs2 AS ({dup_union}), "
+            f"sigs AS (SELECT doc_id, {_sql_minhash_sig_list()} AS sig FROM docs2), "
+            f"banded AS ({band_bucket}) "
+            "SELECT DISTINCT p.pivot AS key_a, b.doc_id AS key_b "
+            "FROM banded b JOIN (SELECT band, bucket, min(doc_id) AS pivot "
+            "FROM banded GROUP BY 1, 2) p "
+            "ON b.band = p.band AND b.bucket = p.bucket "
+            "WHERE b.doc_id != p.pivot"
+        ),
         "minhash_lsh_pairs_incremental": (
             # NEW increment = doc_id % 10 == 0, history = the rest; same
             # signature/banding arithmetic, asymmetric join (new × old)

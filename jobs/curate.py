@@ -76,6 +76,7 @@ def build_curated(
     sample_salt: str = "",
     near_dup_threshold: float | None = None,
     near_dup_cap: int = 1000,
+    near_dup_mode: str = "star",
 ):
     """transcripts → curated per-turn records (pure plan builder, no I/O).
 
@@ -173,6 +174,7 @@ def build_curated(
         from table_ocr_spark.operators.dedup import (
             dedup_near_representatives,
             minhash_lsh_pairs,
+            minhash_lsh_star_pairs,
             verify_pairs_jaccard,
         )
 
@@ -184,9 +186,13 @@ def build_curated(
             # the final anti-join — persist or the exact-dedup semi-join
             # subtree executes four times
             with_k = with_k.persist(StorageLevel.MEMORY_AND_DISK)
-        cand = minhash_lsh_pairs(
-            with_k, "text", "_k", max_bucket_size=near_dup_cap
-        )
+        # star is the SCALE default: templated corpora make hundreds of
+        # 100-5000-member buckets whose all-pairs explosion stalls the
+        # verify stage (measured: 33.5M pairs under cap 1000 at sf0.1 —
+        # hours; star emits <1M).  `pairs` keeps the exact all-pairs form
+        # for small corpora.
+        pair_fn = minhash_lsh_star_pairs if near_dup_mode == "star" else minhash_lsh_pairs
+        cand = pair_fn(with_k, "text", "_k", max_bucket_size=near_dup_cap)
         pairs = verify_pairs_jaccard(
             cand, with_k, text="text", key="_k", threshold=near_dup_threshold
         )
@@ -318,6 +324,22 @@ def main(argv=None) -> int:
         "collapse to one representative per near-dup family",
     )
     ap.add_argument(
+        "--near-dedup-mode",
+        choices=["star", "pairs"],
+        default="star",
+        help="LSH candidate form: 'star' (scale default — each bucket "
+        "emits pivot-member edges, O(n) per bucket) or 'pairs' (exact "
+        "all-pairs, O(n^2) per bucket — small corpora only)",
+    )
+    ap.add_argument(
+        "--near-dedup-candidates",
+        type=int,
+        default=32,
+        help="incremental runs verify each new row against at most this "
+        "many history representatives per colliding LSH bucket "
+        "(deterministic lowest keys; bounds templated hot-bucket blowup)",
+    )
+    ap.add_argument(
         "--near-dedup-cap",
         type=int,
         default=1000,
@@ -429,6 +451,7 @@ def main(argv=None) -> int:
         sample_salt=args.sample_salt,
         near_dup_threshold=args.near_dedup or None,
         near_dup_cap=args.near_dedup_cap,
+        near_dup_mode=args.near_dedup_mode,
     )
     if out_table is not None and out_table.current_seq() is not None:
         # cross-increment exact dedup: a new row whose content already
@@ -470,6 +493,7 @@ def main(argv=None) -> int:
                 text="text",
                 key="_k",
                 max_bucket_size=args.near_dedup_cap,
+                max_candidates_per_bucket=args.near_dedup_candidates,
             )
             old_texts = (
                 out_table.read(spark)

@@ -283,6 +283,57 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_star_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs in STAR form: each (band, bucket) emits
+    (min-member, member) edges only — O(n) per bucket instead of the
+    self-join's O(n²).
+
+    This is the 100-TB near-dedup shape (the SlimPajama/RefinedWeb-scale
+    trade): templated corpora produce hundreds of 100-5000-member
+    buckets whose all-pairs explosion no per-bucket cap short of
+    "useless" bounds — measured on the sf0.1 transcript corpus, cap 1000
+    left 33.5M pairs (hours of Jaccard verify) where the star form emits
+    <1M.  Downstream is unchanged: verify each edge exactly, then
+    connected components — members that both match their bucket pivot
+    land in one family through it.  The recall trade-off vs all-pairs is
+    a member pair where NEITHER matches the pivot at ≥J but both match
+    each other; every band gives such a pair another bucket (and pivot)
+    to meet in.  All-pairs (``minhash_lsh_pairs``) remains the exact
+    small-scale path.
+
+    Output: (key_a, key_b) distinct with key_a < key_b (key_a is the
+    bucket pivot; column contract identical to ``minhash_lsh_pairs``, so
+    verify/CC/representative stages compose unchanged)."""
+    banded = _lsh_banded(df, text, key, k, bands, shingle_n)
+    if max_bucket_size is not None:
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    n_part = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(n_part, "band", "bucket")
+    # pivot = bucket min: map-side-combined aggregate on the SAME
+    # (band, bucket) exchange the membership join reuses
+    pivots = banded.groupBy("band", "bucket").agg(F.min("k").alias("_pivot"))
+    return (
+        banded.join(pivots, ["band", "bucket"])
+        .filter(F.col("k") != F.col("_pivot"))
+        .select(F.col("_pivot").alias("key_a"), F.col("k").alias("key_b"))
+        .distinct()
+    )
+
+
 def lsh_banded(
     df: DataFrame,
     text: str = "text",
@@ -312,11 +363,19 @@ def lsh_pairs_against(
     bands: int = 4,
     shingle_n: int = 2,
     max_bucket_size: int | None = None,
+    max_candidates_per_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs of NEW docs against an EXISTING banded
     index (``lsh_banded`` output: (key, band, bucket)): the incremental
     half of MinHash LSH — only the increment's text is shingled and
     hashed; history participates as its tiny pre-banded index rows.
+
+    ``max_candidates_per_bucket`` truncates the INDEX side of each
+    bucket to its C lowest keys before pairing (deterministic window
+    rank) — the star-form analog for the cross join: per-bucket pair
+    count drops from n_new × n_old to n_new × C, bounding the templated
+    hot-bucket blowup while each new doc still verifies against C
+    history representatives per colliding band.
 
     Output: (key_new, key_old) distinct — one row per new doc ×
     colliding indexed doc.  Asymmetric by design: new×new pairing is the
@@ -349,6 +408,13 @@ def lsh_pairs_against(
                 F.broadcast(oversized), ["band", "bucket"], "left_anti"
             )
     n_part = int(new_banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if max_candidates_per_bucket is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("k")
+        old_banded = (
+            old_banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_candidates_per_bucket)
+            .drop("_rn")
+        )
     a = new_banded.repartition(n_part, "band", "bucket").alias("a")
     b = old_banded.repartition(n_part, "band", "bucket").alias("b")
     return (
@@ -559,11 +625,18 @@ def near_dup_components(
     def _cut(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
-    edges = (
+    edges = _cut(
         pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
         .unionByName(pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
         .distinct()
     )
+    # edges MUST be cut before the loop: every round (and every
+    # convergence check) references it, and an uncut edges frame re-runs
+    # its whole upstream — candidate build + Jaccard verify + extraction
+    # — per iteration (measured: the sf0.1 curate near-dedup stage ran
+    # 800+ stages and stalled out; with the cut it is one pass).  The
+    # frame is narrow (2 string columns, 2|pairs| rows), so the
+    # checkpoint write is trivial next to one upstream re-execution.
     labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()

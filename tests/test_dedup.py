@@ -324,3 +324,35 @@ def test_lsh_pairs_against_matches_self_join_cross_pairs(spark):
     capped = {(r.key_new, r.key_old) for r in
               lsh_pairs_against(new, lsh_banded(old), max_bucket_size=3).collect()}
     assert capped < got
+
+
+def test_minhash_lsh_star_linear_edges_same_families(spark):
+    """Star form emits O(n) pivot-member edges per bucket (a clone family
+    of size n yields exactly n-1 edges, not n(n-1)/2) and composes with
+    verify + CC + representatives to the same kept set as all-pairs."""
+    from table_ocr_spark.operators.dedup import (
+        dedup_near_representatives,
+        minhash_lsh_pairs,
+        minhash_lsh_star_pairs,
+        verify_pairs_jaccard,
+    )
+
+    fam = "the identical templated body repeats across many rows"
+    rows = [(i, fam) for i in range(12)] + [
+        (100, "completely different standalone content one"),
+        (101, "another unrelated standalone row of words"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    star = minhash_lsh_star_pairs(d).collect()
+    allp = minhash_lsh_pairs(d).collect()
+    assert len(star) == 11          # n-1 edges, pivot = min key
+    assert len(allp) == 12 * 11 // 2
+    assert all(r.key_a == 0 for r in star)
+    assert {(r.key_a, r.key_b) for r in star} <= {(r.key_a, r.key_b) for r in allp}
+
+    def kept(pairs):
+        v = verify_pairs_jaccard(pairs, d, threshold=0.5)
+        return {r.doc_id for r in dedup_near_representatives(d, v).collect()}
+
+    assert kept(minhash_lsh_star_pairs(d)) == kept(minhash_lsh_pairs(d)) == {0, 100, 101}
