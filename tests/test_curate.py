@@ -448,3 +448,53 @@ def test_curate_incremental_near_dedup_against_history(spark, tmp_path, monkeypa
     n_commits = len(idx_table.history())
     C._sync_lsh_index(spark, out_table, idx_table)
     assert len(idx_table.history()) == n_commits
+
+
+def test_curate_incremental_equals_full_run_fingerprints(spark, tmp_path, monkeypatch):
+    """Two incremental runs over appends A then B produce the SAME
+    fingerprint set (exactly-one-per-content) as one full run over A∪B —
+    the incremental contract's equality half (representative CHOICE may
+    differ: the full run takes the global min key, incremental keeps the
+    first-batch holder; content coverage must not)."""
+    import hashlib
+
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA, write_transcripts_parquet
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def tx(pdf):
+        pdf = pdf.copy()
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    pdf = synth.gen_pandas(10, seed=47, max_long=30)
+    # split by conv hash (conversations never straddle batches — the
+    # conv-scoped strip sees whole conversations either way)
+    hb = pdf["conv_id"].map(lambda c: int(hashlib.md5(c.encode()).hexdigest()[:8], 16) % 3)
+    b1, b2 = pdf[hb != 0], pdf[hb == 0]
+    assert len(b1) and len(b2)
+
+    in_table = SnapshotTable(str(tmp_path / "in"))
+    args = ["--input", str(tmp_path / "in"), "--output", str(tmp_path / "inc"),
+            "--min-quality", "0.0", "--input-snapshot", "--incremental", "--snapshot"]
+    in_table.append(tx(b1))
+    assert C.main(args) == 0
+    in_table.append(tx(b2))
+    assert C.main(args) == 0
+
+    write_transcripts_parquet(pdf, str(tmp_path / "full_in"))
+    assert C.main(["--input", str(tmp_path / "full_in"),
+                   "--output", str(tmp_path / "full"), "--min-quality", "0.0"]) == 0
+
+    inc = SnapshotTable(str(tmp_path / "inc" / "table")).read(spark)
+    full = spark.read.parquet(str(tmp_path / "full" / "data"))
+    inc_fp = {r.fingerprint for r in inc.select("fingerprint").collect()}
+    full_fp = {r.fingerprint for r in full.select("fingerprint").collect()}
+    assert inc_fp == full_fp and len(inc_fp) == inc.count() == full.count()
