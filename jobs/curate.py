@@ -274,15 +274,28 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
             break
     if covered >= cur:
         return
-    rows = out_table.read_changes(spark, after_seq=covered, until_seq=cur)
-    with_k = rows.select(
-        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("_k"),
-        "text",
-    )
-    index_table.append(
-        lsh_banded(with_k, text="text", key="_k", k=k, bands=bands, shingle_n=shingle_n),
-        summary={"data_seq": cur},
-    )
+
+    def _band(rows):
+        with_k = rows.select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("_k"),
+            "text",
+        )
+        return lsh_banded(
+            with_k, text="text", key="_k", k=k, bands=bands, shingle_n=shingle_n
+        )
+
+    try:
+        rows = out_table.read_changes(spark, after_seq=covered, until_seq=cur)
+    except ValueError:
+        # a non-append commit (forget-merge, compaction, rollback) sits
+        # between the covered seq and HEAD — incremental change tracking
+        # is undefined across it, so rebuild the index from the live
+        # table: one banding pass over the surviving corpus (no text
+        # re-extraction), committed as an overwrite so forgotten rows'
+        # derived bands drop out of the live index too
+        index_table.overwrite(_band(out_table.read(spark)), summary={"data_seq": cur})
+        return
+    index_table.append(_band(rows), summary={"data_seq": cur})
 
 
 def main(argv=None) -> int:
