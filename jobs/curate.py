@@ -49,6 +49,13 @@ read), and the result lands as one atomic append.  Per-increment stages
 (conv-boilerplate frequencies, quotas, near-dedup families) see only the
 increment — the standard incremental-pipeline contract; run a full
 non-incremental pass when cross-increment fuzzy collapse is required.
+
+Incremental mode assumes ONE writer per output root (the normal
+orchestrator contract): two runs racing on the same unprocessed input
+seq would each anti-join against the same committed state and both
+append — the snapshot layer keeps each commit atomic, but the increment
+itself would land twice.  Concurrency belongs at the scheduler, same as
+every Iceberg-style ingest pipeline.
 """
 
 from __future__ import annotations
