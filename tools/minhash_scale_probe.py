@@ -15,7 +15,7 @@ linearly, same workload shape), then run the IDENTICAL operator at two
 parallelism levels, min-of-N wall each, and print the scaling
 efficiency.  Receipt: BENCH/MINHASH_SCALING.md.
 
-Usage: python tools/minhash_scale_probe.py [replicas] [reps]
+Usage: python tools/minhash_scale_probe.py [replicas] [reps] [pairs|star]
 """
 
 from __future__ import annotations
@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+FORM = sys.argv[3] if len(sys.argv) > 3 else "pairs"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED = "/tmp/spark_graft_bench/minhash_scale/docs_x%d" % REPLICAS
 
@@ -62,7 +63,10 @@ def _build_scaled() -> None:
 def _time_at(cpus: int) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
-    from table_ocr_spark.operators.dedup import minhash_lsh_pairs
+    from table_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_star_pairs,
+    )
     from table_ocr_spark.session import build_session
 
     spark = build_session(
@@ -75,7 +79,8 @@ def _time_at(cpus: int) -> tuple[float, int]:
     src = docs.unionByName(dups)
 
     def run() -> None:
-        minhash_lsh_pairs(src, "text", "doc_id", k=8, bands=4, shingle_n=2).write.mode(
+        fn = minhash_lsh_star_pairs if FORM == "star" else minhash_lsh_pairs
+        fn(src, "text", "doc_id", k=8, bands=4, shingle_n=2).write.mode(
             "overwrite"
         ).format("noop").save()
 
@@ -98,7 +103,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "probe": "minhash_lsh_pairs_scaled",
+                "probe": "minhash_lsh_%s_scaled" % FORM,
                 "replicas": REPLICAS,
                 "docs": n,
                 "reps_min_of": REPS,
