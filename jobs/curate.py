@@ -436,6 +436,13 @@ def main(argv=None) -> int:
                     "rows_out": 0,
                     "no_new_input": True,
                 }
+                # same sidecar contract as a real run — a monitoring
+                # reader always finds the latest run's summary here
+                os.makedirs(args.output, exist_ok=True)
+                with open(
+                    os.path.join(args.output, "_curation_summary.json"), "w"
+                ) as f:
+                    json.dump(summary, f, indent=1, default=str)
                 print(json.dumps(summary, default=str))
                 spark.stop()
                 return 0
