@@ -193,6 +193,16 @@ def build_curated(
             # the final anti-join — persist or the exact-dedup semi-join
             # subtree executes four times
             with_k = with_k.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize ONCE before the CC loop's eager checkpoints: an
+        # Observation attached upstream (rows_in / rows_kept) completes
+        # on the FIRST action that contains its node, and when the LSH
+        # candidate set is empty AQE's empty-relation fold can eliminate
+        # the CollectMetrics node from a checkpoint action's plan — the
+        # observation then completes with a null row and Observation.get
+        # raises (reproduced with a corpus yielding zero candidates).
+        # This clean full pass completes the observations with correct
+        # values and warms the cache every downstream branch shares.
+        with_k.count()
         # star is the SCALE default: templated corpora make hundreds of
         # 100-5000-member buckets whose all-pairs explosion stalls the
         # verify stage (measured: 33.5M pairs under cap 1000 at sf0.1 —
@@ -294,10 +304,27 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
     try:
         rows = out_table.read_changes(spark, after_seq=covered, until_seq=cur)
     except ValueError:
-        # a non-append commit (forget-merge, compaction, rollback) sits
-        # between the covered seq and HEAD — incremental change tracking
-        # is undefined across it, so rebuild the index from the live
-        # table: one banding pass over the surviving corpus (no text
+        ops = {
+            out_table.manifest(s)["operation"] for s in range(covered + 1, cur + 1)
+        }
+        if ops <= {"append", "compact"}:
+            # compaction rewrites file LAYOUT but preserves every row, so
+            # file-diff change tracking is void while row coverage is
+            # not: band only the live rows whose key the index lacks (one
+            # anti-join on the narrow key column; for a compact-only
+            # range that is zero rows — a metadata-only seq catch-up)
+            live = out_table.read(spark).withColumn(
+                "_k",
+                F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
+            )
+            unindexed = live.join(
+                index_table.read(spark).select("_k").distinct(), "_k", "left_anti"
+            )
+            index_table.append(_band(unindexed), summary={"data_seq": cur})
+            return
+        # a row-REMOVING commit (forget-merge, rollback) sits between the
+        # covered seq and HEAD — rebuild the index from the live table:
+        # one banding pass over the surviving corpus (no text
         # re-extraction), committed as an overwrite so forgotten rows'
         # derived bands drop out of the live index too
         index_table.overwrite(_band(out_table.read(spark)), summary={"data_seq": cur})
@@ -382,6 +409,16 @@ def main(argv=None) -> int:
         "anti-join new fingerprints against the existing curated "
         "output, and append atomically; requires --input-snapshot and "
         "--snapshot",
+    )
+    ap.add_argument(
+        "--compact-after",
+        type=int,
+        default=0,
+        help="after a snapshot commit, if the live table holds more than "
+        "this many files, compact it (and the LSH index) to target-sized "
+        "files clustered by conv_id — the incremental loop's small-file "
+        "lifecycle (0 = never; incremental appends accrete O(runs) "
+        "files, and scan task count + manifest pressure are O(files))",
     )
     ap.add_argument(
         "--snapshot",
@@ -599,6 +636,15 @@ def main(argv=None) -> int:
             # new files, key+text pruned); a crash before this line just
             # leaves the index one seq behind — the next run's sync heals
             _sync_lsh_index(spark, table, SnapshotTable(os.path.join(args.output, "lsh_index")))
+        if args.compact_after and len(table.manifest()["files"]) > args.compact_after:
+            # conv_id clustering keeps each file a tight key slice, so
+            # forget-merges and key-pruned reads touch O(matched files);
+            # the index sync's rebuild fallback absorbs the non-append
+            # commit on its next run
+            summary["compacted_seq"] = table.compact(spark, cluster_by=["conv_id"])
+            idx = SnapshotTable(os.path.join(args.output, "lsh_index"))
+            if idx.current_seq() is not None and len(idx.manifest()["files"]) > args.compact_after:
+                summary["compacted_index_seq"] = idx.compact(spark, cluster_by=["_k"])
     else:
         (
             curated.write.mode("overwrite")

@@ -498,3 +498,72 @@ def test_curate_incremental_equals_full_run_fingerprints(spark, tmp_path, monkey
     inc_fp = {r.fingerprint for r in inc.select("fingerprint").collect()}
     full_fp = {r.fingerprint for r in full.select("fingerprint").collect()}
     assert inc_fp == full_fp and len(inc_fp) == inc.count() == full.count()
+
+
+def test_curate_compact_after_keeps_incremental_loop_working(spark, tmp_path, monkeypatch):
+    """--compact-after: once the table exceeds the file budget the run
+    compacts it (conv_id-clustered); the NEXT incremental run crosses the
+    compact commit and the index sync catches up via the key anti-join
+    (append, not a full-rebuild overwrite), with near-dedup-vs-history
+    still effective."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def _tx(spark, pdf):
+        pdf = pdf.copy()
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = (
+        "the incremental compaction scenario text body keeps the near "
+        "duplicate detection across a compacted history fully functional"
+    )
+    in_table = SnapshotTable(str(tmp_path / "in"))
+    b1 = synth.gen_pandas(5, seed=71, max_long=20)
+    ts = b1["ts"].iloc[0]
+    b1 = pd.concat([b1, pd.DataFrame([{
+        "conv_id": "cp-base", "turn_idx": 0, "role": "user",
+        "text": base, "tool": "", "ts": ts,
+    }])], ignore_index=True)
+    in_table.append(_tx(spark, b1))
+
+    args = ["--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
+            "--min-quality", "0.0", "--input-snapshot", "--incremental",
+            "--snapshot", "--near-dedup", "0.5", "--compact-after", "1"]
+    assert C.main(args) == 0
+    data = SnapshotTable(str(tmp_path / "out" / "table"))
+    # run 1: one file fits the budget — no compaction yet
+    assert [h["operation"] for h in data.history()] == ["append"]
+
+    # run 2 appends a second file → exceeds --compact-after 1 → compacts
+    b2 = synth.gen_pandas(3, seed=72, max_long=20)
+    in_table.append(_tx(spark, b2))
+    assert C.main(args) == 0
+    assert [h["operation"] for h in data.history()] == ["append", "append", "compact"]
+
+    # run 3 crosses the compact commit with a near-dup of run-1 content
+    b3 = synth.gen_pandas(2, seed=73, max_long=20)
+    b3 = pd.concat([b3, pd.DataFrame([{
+        "conv_id": "cp-near", "turn_idx": 0, "role": "user",
+        "text": base + " truly", "tool": "", "ts": ts,
+    }])], ignore_index=True)
+    in_table.append(_tx(spark, b3))
+    assert C.main(args) == 0
+
+    live = data.read(spark)
+    # near-dedup against PRE-compaction history still drops the near-dup
+    assert live.filter(F.col("conv_id") == "cp-near").count() == 0
+    assert live.filter(F.col("conv_id") == "cp-base").count() == 1
+    idx = SnapshotTable(str(tmp_path / "out" / "lsh_index"))
+    # the sync crossed the compact commit via catch-up APPEND, not rebuild
+    assert "overwrite" not in {h["operation"] for h in idx.history()}
+    live_keys = {f"{r.conv_id}#{r.turn_idx}" for r in live.select("conv_id", "turn_idx").collect()}
+    assert {r._k for r in idx.read(spark).select("_k").distinct().collect()} == live_keys
