@@ -84,6 +84,7 @@ def build_curated(
     near_dup_threshold: float | None = None,
     near_dup_cap: int = 1000,
     near_dup_mode: str = "star",
+    near_dup_rounds: int = 2,
 ):
     """transcripts → curated per-turn records (pure plan builder, no I/O).
 
@@ -208,12 +209,37 @@ def build_curated(
         # verify stage (measured: 33.5M pairs under cap 1000 at sf0.1 —
         # hours; star emits <1M).  `pairs` keeps the exact all-pairs form
         # for small corpora.
-        pair_fn = minhash_lsh_star_pairs if near_dup_mode == "star" else minhash_lsh_pairs
-        cand = pair_fn(with_k, "text", "_k", max_bucket_size=near_dup_cap)
-        pairs = verify_pairs_jaccard(
-            cand, with_k, text="text", key="_k", threshold=near_dup_threshold
-        )
-        deduped = dedup_near_representatives(with_k, pairs, key="_k").drop("_k")
+        if near_dup_mode == "star":
+            # iterated star: round 1 anchors each bucket at its min key;
+            # each further round re-buckets the SURVIVORS with a rotated
+            # (salted-argmin) pivot, so member pairs that both missed an
+            # earlier anchor get a new one to meet through.  Every round
+            # is O(n) per bucket; measured at sf0.01, round 2 closes most
+            # of the star-vs-all-pairs recall gap (BENCH/CURATE.md).
+            surv = with_k
+            for r in range(max(1, near_dup_rounds)):
+                cand = minhash_lsh_star_pairs(
+                    surv,
+                    "text",
+                    "_k",
+                    max_bucket_size=near_dup_cap,
+                    pivot_salt=str(r) if r else "",
+                )
+                pairs = verify_pairs_jaccard(
+                    cand, surv, text="text", key="_k", threshold=near_dup_threshold
+                )
+                surv = dedup_near_representatives(surv, pairs, key="_k")
+                if persist_extracted and r + 1 < max(1, near_dup_rounds):
+                    # next round references the survivor frame from four
+                    # branches (banding, both verify sides, anti-join)
+                    surv = surv.persist(StorageLevel.MEMORY_AND_DISK)
+            deduped = surv.drop("_k")
+        else:
+            cand = minhash_lsh_pairs(with_k, "text", "_k", max_bucket_size=near_dup_cap)
+            pairs = verify_pairs_jaccard(
+                cand, with_k, text="text", key="_k", threshold=near_dup_threshold
+            )
+            deduped = dedup_near_representatives(with_k, pairs, key="_k").drop("_k")
     deduped = deduped.withColumn("split", dataset_split_col("fingerprint"))
     if eval_df is not None:
         # benchmark-leak guard: drop any curated row sharing an n-token
@@ -379,6 +405,14 @@ def main(argv=None) -> int:
         "all-pairs, O(n^2) per bucket — small corpora only)",
     )
     ap.add_argument(
+        "--near-dedup-rounds",
+        type=int,
+        default=2,
+        help="star-mode rounds: each round re-buckets the survivors with "
+        "a rotated bucket pivot, catching member pairs earlier anchors "
+        "missed; every round stays O(n) per bucket (ignored in pairs mode)",
+    )
+    ap.add_argument(
         "--near-dedup-candidates",
         type=int,
         default=32,
@@ -516,6 +550,7 @@ def main(argv=None) -> int:
         near_dup_threshold=args.near_dedup or None,
         near_dup_cap=args.near_dedup_cap,
         near_dup_mode=args.near_dedup_mode,
+        near_dup_rounds=args.near_dedup_rounds,
     )
     if out_table is not None and out_table.current_seq() is not None:
         # cross-increment exact dedup: a new row whose content already

@@ -291,10 +291,19 @@ def minhash_lsh_star_pairs(
     bands: int = 4,
     shingle_n: int = 2,
     max_bucket_size: int | None = None,
+    pivot_salt: str = "",
 ) -> DataFrame:
     """Candidate pairs in STAR form: each (band, bucket) emits
     (min-member, member) edges only — O(n) per bucket instead of the
     self-join's O(n²).
+
+    ``pivot_salt`` rotates WHICH member anchors each bucket (pivot =
+    argmin of md5(salt ++ key) instead of the plain min key): an
+    iterated star dedup re-runs on the survivors with a fresh salt each
+    round, so a member pair that both missed round-1's pivot gets a new
+    anchor to meet through — each round stays O(n) per bucket
+    (jobs/curate.py --near-dedup-rounds; measured at sf0.01: round 2
+    closes most of the star-vs-all-pairs recall gap).
 
     This is the 100-TB near-dedup shape (the SlimPajama/RefinedWeb-scale
     trade): templated corpora produce hundreds of 100-5000-member
@@ -323,9 +332,15 @@ def minhash_lsh_star_pairs(
         banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     n_part = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     banded = banded.repartition(n_part, "band", "bucket")
-    # pivot = bucket min: map-side-combined aggregate on the SAME
-    # (band, bucket) exchange the membership join reuses
-    pivots = banded.groupBy("band", "bucket").agg(F.min("k").alias("_pivot"))
+    # pivot = bucket min (or salted argmin): map-side-combined aggregate
+    # on the SAME (band, bucket) exchange the membership join reuses
+    if pivot_salt:
+        order = F.md5(F.concat(F.lit(pivot_salt), F.col("k").cast("string")))
+        pivots = banded.groupBy("band", "bucket").agg(
+            F.min_by("k", order).alias("_pivot")
+        )
+    else:
+        pivots = banded.groupBy("band", "bucket").agg(F.min("k").alias("_pivot"))
     return (
         banded.join(pivots, ["band", "bucket"])
         .filter(F.col("k") != F.col("_pivot"))

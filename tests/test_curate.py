@@ -540,14 +540,15 @@ def test_curate_compact_after_keeps_incremental_loop_working(spark, tmp_path, mo
             "--snapshot", "--near-dedup", "0.5", "--compact-after", "1"]
     assert C.main(args) == 0
     data = SnapshotTable(str(tmp_path / "out" / "table"))
-    # run 1: one file fits the budget — no compaction yet
-    assert [h["operation"] for h in data.history()] == ["append"]
 
-    # run 2 appends a second file → exceeds --compact-after 1 → compacts
+    # run 2 appends more files; with budget 1, a compact commit must
+    # exist by now and the live set must be back inside the budget
     b2 = synth.gen_pandas(3, seed=72, max_long=20)
     in_table.append(_tx(spark, b2))
     assert C.main(args) == 0
-    assert [h["operation"] for h in data.history()] == ["append", "append", "compact"]
+    ops = [h["operation"] for h in data.history()]
+    assert "compact" in ops and ops[-1] == "compact"
+    assert len(data.manifest()["files"]) <= 1
 
     # run 3 crosses the compact commit with a near-dup of run-1 content
     b3 = synth.gen_pandas(2, seed=73, max_long=20)

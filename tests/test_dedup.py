@@ -356,3 +356,34 @@ def test_minhash_lsh_star_linear_edges_same_families(spark):
         return {r.doc_id for r in dedup_near_representatives(d, v).collect()}
 
     assert kept(minhash_lsh_star_pairs(d)) == kept(minhash_lsh_pairs(d)) == {0, 100, 101}
+
+
+def test_lsh_star_pivot_salt_and_candidates_bound(spark):
+    """pivot_salt deterministically rotates each bucket's anchor, and
+    lsh_pairs_against's max_candidates_per_bucket keeps only the C lowest
+    index keys per bucket."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.dedup import (
+        lsh_banded,
+        lsh_pairs_against,
+        minhash_lsh_star_pairs,
+    )
+
+    fam = "rotating anchors across rounds exercise alternate bucket pivots"
+    d = spark.createDataFrame([(i, fam) for i in range(8)], "doc_id long, text string")
+
+    plain = minhash_lsh_star_pairs(d).collect()
+    assert {r.key_a for r in plain} == {0} and len(plain) == 7
+    salted = minhash_lsh_star_pairs(d, pivot_salt="1").collect()
+    assert len(salted) == 7
+    # same set twice → deterministic; anchor differs from the plain min
+    assert salted == minhash_lsh_star_pairs(d, pivot_salt="1").collect()
+    anchors = {r.key_a for r in salted}
+    assert len(anchors) == 1 and anchors != {0}
+
+    # candidate bound: 8 clone docs in the index, every bucket truncated
+    # to its 2 lowest keys → each new doc pairs with exactly those 2
+    new = spark.createDataFrame([(100, fam)], "doc_id long, text string")
+    got = lsh_pairs_against(new, lsh_banded(d), max_candidates_per_bucket=2).collect()
+    assert {(r.key_new, r.key_old) for r in got} == {(100, 0), (100, 1)}
