@@ -850,6 +850,29 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(_emb(spark, sf_dir), dim=64, threshold=0.2)
 
 
+def q_embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup: vec_id % 10 == 0 plays the NEW
+    increment, the rest the history whose persisted sign-LSH index
+    (`embedding_lsh_index`) stands in for its vectors; candidates from
+    one (band, bucket) equi-join, exact-cosine verified against the
+    history table fetched candidates-pruned
+    (operators/similarity.py embedding_pairs_against)."""
+    from table_ocr_spark.operators.similarity import (
+        embedding_lsh_index,
+        embedding_pairs_against,
+    )
+
+    d = _emb(spark, sf_dir)
+    old = d.filter(F.col("vec_id") % 10 != 0)
+    return embedding_pairs_against(
+        d.filter(F.col("vec_id") % 10 == 0),
+        embedding_lsh_index(old, dim=64),
+        old,
+        dim=64,
+        threshold=0.2,
+    )
+
+
 def q_cells_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flattened cell view (explode rows → posexplode cells) over the
     markdown-table payload — one row per extracted table cell."""
@@ -884,6 +907,24 @@ def _banner_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("turn_idx").cast("string"),
         ).alias("text"),
     )
+
+
+def q_conv_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSATION-level exact dedup: whole convs re-assembled in turn
+    order (`conv_scope.conv_text`) and fingerprinted — catches re-uploads
+    of entire conversations that turn-level dedup cannot (identical
+    convs survive turn dedup via different (conv, turn) reps).  Clones of
+    every doc_id % 10 == 0 conv are injected under `<conv>-dup`; each
+    group must collapse to (fingerprint, 2, original)."""
+    from table_ocr_spark.operators.conv_scope import conv_text
+    from table_ocr_spark.operators.dedup import exact_duplicates
+
+    turns = _banner_conv_turns(spark, sf_dir)
+    clones = turns.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-dup"))
+    )
+    both = turns.unionByName(clones).select("conv_id", "turn_idx", "text")
+    return exact_duplicates(conv_text(both), "text", "conv_id")
 
 
 def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,8 +1757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_intersect": q_customer_intersect,                  # NEW r5: ANSI INTERSECT
         "customer_except": q_customer_except,                        # NEW r5: ANSI EXCEPT
         "returnflag_cube": q_returnflag_cube,                        # CUBE + grouping_id
-        "q22_idle_customers": q_q22_idle_customers,                  # broadcast scalar + anti join
-        "event_value_percentiles": q_event_value_percentiles,
         "event_value_percentiles_approx": q_event_value_percentiles_approx,  # t-digest hard gate
         # ---- extraction kernels + export artifacts (12) ----
         "extract_html_mode_ratio": q_extract_html_mode_ratio,
@@ -1751,9 +1790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_capped": q_minhash_lsh_capped,                  # hot-bucket cap — keep gated
         "minhash_lsh_pairs_incremental": q_minhash_lsh_pairs_incremental,  # NEW r5: banded-index join
         "minhash_lsh_star": q_minhash_lsh_star,                      # NEW r5: O(n)-per-bucket star form
+        "conv_exact_dedup": q_conv_exact_dedup,                      # NEW r5: whole-conversation dedup
         "near_dup_verified": q_near_dup_verified,
-        # ---- similarity / ANN (2) ----
+        # ---- similarity / ANN (3) ----
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_incremental": q_embedding_near_dup_incremental,  # NEW r5: sign-LSH index join
         "ivf_topk": q_ivf_topk,
         # ---- multimodal (3) ----
         "media_png_stats": q_media_png_stats,
@@ -1801,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
         # demoted r5: 3-4x driver-green head entries, now sweep-covered
+        "q22_idle_customers": q_q22_idle_customers,
+        "event_value_percentiles": q_event_value_percentiles,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q10_returned_revenue": q_q10_returned_revenue,
@@ -2359,12 +2402,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
             f"AND a.vec_id < b.vec_id WHERE round({cos_ab}, 4) >= 0.2"
         ),
+        "embedding_near_dup_incremental": (
+            # NEW = vec_id % 10 == 0, history = the rest; same hyperplane
+            # buckets, asymmetric (new × old) join, exact cosine verify
+            f"WITH bk AS (SELECT vec_id, embedding, {_sql_sign_bucket(0)} AS bkt0, "
+            f"{_sql_sign_bucket(1)} AS bkt1 FROM embeddings), "
+            "banded AS (SELECT vec_id, embedding, 0 AS band, bkt0 AS bucket FROM bk "
+            "UNION ALL SELECT vec_id, embedding, 1 AS band, bkt1 AS bucket FROM bk) "
+            f"SELECT DISTINCT a.vec_id AS key_new, b.vec_id AS key_old, round({cos_ab}, 4) AS cos_sim "
+            "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+            f"WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 != 0 AND round({cos_ab}, 4) >= 0.2"
+        ),
         "cells_flat": (
             f"SELECT doc_id, r.row_idx::BIGINT AS row_idx, r.col_idx::BIGINT AS col_idx, "
             f"CASE WHEN r.row_idx = 0 THEN (CASE r.col_idx WHEN 0 THEN 'c0' ELSE 'c1' END) "
             f"WHEN r.row_idx = 1 THEN (CASE r.col_idx WHEN 0 THEN {w(1)} ELSE {w(2)} END) "
             f"ELSE (CASE r.col_idx WHEN 0 THEN {w(3)} ELSE {w(4)} END) END AS cell "
             f"FROM documents, (VALUES (0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)) r(row_idx, col_idx)"
+        ),
+        "conv_exact_dedup": (
+            # conv text re-assembled turn-by-turn in order (same banner +
+            # word-<t> construction as the strip oracles), then the
+            # standard normalized-md5 fingerprint grouping
+            "WITH convs AS (SELECT doc_id::VARCHAR AS conv_id, "
+            + (
+                " || chr(10) || ".join(
+                    f"'SENT FROM MY AGENT' || chr(10) || {_SQL_TOKS}[{t}+1] || '-{t}'"
+                    for t in range(5)
+                )
+            )
+            + " AS ctext FROM documents UNION ALL "
+            "SELECT doc_id::VARCHAR || '-dup', "
+            + (
+                " || chr(10) || ".join(
+                    f"'SENT FROM MY AGENT' || chr(10) || {_SQL_TOKS}[{t}+1] || '-{t}'"
+                    for t in range(5)
+                )
+            )
+            + " FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT md5(lower(trim(regexp_replace(ctext, '\\s+', ' ', 'g')))) AS fingerprint, "
+            "count(*)::BIGINT AS n_dups, min(conv_id) AS min_key "
+            "FROM convs GROUP BY 1 HAVING count(*) > 1"
         ),
         "conv_boilerplate_strip": (
             # the banner repeats in 5/5 turns → banned; each word-<t> line is

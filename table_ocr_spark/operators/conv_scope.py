@@ -203,3 +203,35 @@ def cells_flat(extracted: DataFrame) -> DataFrame:
         F.col("row_idx").cast("long").alias("row_idx"),
         F.posexplode("row_cells").alias("col_idx", "cell"),
     ).withColumn("col_idx", F.col("col_idx").cast("long"))
+
+
+def conv_text(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    sep: str = "\n",
+) -> DataFrame:
+    """(conv_id, text): the conversation re-assembled as ONE ordered
+    document — turn texts joined by ``sep`` in ``order`` — the input
+    granularity for CONVERSATION-level dedup and fingerprinting.
+
+    Turn-level dedup (the curation default) collapses repeated content
+    inside and across conversations; conv-level dedup answers the other
+    real pipeline question — "is this whole conversation a re-upload of
+    one we already have?" — where per-turn fingerprints cannot: two
+    identical conversations whose turns are individually common survive
+    turn dedup via different (conv, turn) representatives.
+
+    Plan shape: one partial-aggregated ``collect_list(struct(order,
+    text))`` — conversations shuffle ONCE, each as a single list row —
+    then ``sort_array`` + join, both JVM expressions.  The turn order is
+    made explicit (sorted by ``order``) so the result is
+    partitioning-invariant, never scan-order-dependent.  At 100 TB a
+    million-turn pathological conversation is one fat row; cap such
+    conversations upstream (operators/sampling.cap_per_key) if the
+    corpus can contain them."""
+    pairs = F.sort_array(F.collect_list(F.struct(F.col(order), F.col(text))))
+    return df.groupBy(F.col(key)).agg(
+        F.array_join(F.transform(pairs, lambda s: s[text]), sep).alias("text")
+    )

@@ -332,6 +332,96 @@ def embedding_near_dup_lsh(
     )
 
 
+def embedding_lsh_index(
+    df: DataFrame,
+    dim: int,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    planes_per_band: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Persistable sign-LSH INDEX of a corpus: (key, band, bucket) — the
+    embedding-modality analog of ``dedup.lsh_banded``.  An incremental
+    pipeline appends these rows per data increment (one long per band
+    per vector, independent of ``dim``); later increments find near-dup
+    candidates against the WHOLE history with one (band, bucket)
+    equi-join instead of re-projecting every stored vector
+    (``embedding_pairs_against``)."""
+    sig = df.select(
+        F.col(key),
+        *[
+            lsh_bucket_col(F.col(vec), dim, planes_per_band, b * planes_per_band).alias(
+                f"bkt{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    return sig.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bkt{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key, "bb.band", "bb.bucket")
+
+
+def embedding_pairs_against(
+    new_df: DataFrame,
+    index: DataFrame,
+    old_vecs: DataFrame,
+    dim: int,
+    threshold: float = 0.2,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    planes_per_band: int = 8,
+    bands: int = 2,
+    max_candidates_per_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental embedding near-dup: NEW vectors vs an EXISTING
+    sign-LSH index (``embedding_lsh_index`` rows), exact-cosine verified.
+
+    Only the increment is projected onto the hyperplanes; history
+    participates as its tiny index rows, and vectors are fetched from
+    ``old_vecs`` (the history table, column-pruned to (key, vec)) ONLY
+    for the candidate keys — the join order keeps the verify cost
+    O(candidates), never O(history).  ``max_candidates_per_bucket``
+    truncates each index bucket to its C lowest keys (deterministic
+    window rank), bounding hot-bucket blowup exactly like the MinHash
+    form.  Output: (key_new, key_old, cos_sim) with rounded cos_sim ≥
+    ``threshold``."""
+    from pyspark.sql.window import Window
+
+    new_banded = embedding_lsh_index(new_df, dim, vec, key, planes_per_band, bands)
+    old_banded = index.select(F.col(key).alias("_ko"), "band", "bucket")
+    if max_candidates_per_bucket is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("_ko")
+        old_banded = (
+            old_banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_candidates_per_bucket)
+            .drop("_rn")
+        )
+    n_part = int(new_banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        new_banded.repartition(n_part, "band", "bucket")
+        .join(old_banded.repartition(n_part, "band", "bucket"), ["band", "bucket"])
+        .select(F.col(key).alias("key_new"), F.col("_ko").alias("key_old"))
+        .distinct()
+    )
+    nv = new_df.select(F.col(key).alias("key_new"), F.col(vec).alias("_vn"))
+    ov = old_vecs.select(F.col(key).alias("key_old"), F.col(vec).alias("_vo"))
+    cos = cosine_col(F.col("_vn").cast("array<double>"), F.col("_vo").cast("array<double>"))
+    return (
+        cand.join(nv, "key_new")
+        .join(ov, "key_old")
+        .select("key_new", "key_old", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -113,3 +113,29 @@ def test_linehash_no_broadcast_same_result(spark):
         ).collect()
     }
     assert rows[("c", 3)] == ("line 3", 1)
+
+
+def test_conv_text_order_and_partition_invariant(spark):
+    """conv_text joins turns strictly by turn_idx regardless of scan or
+    partition order, and conv-level fingerprints distinguish 'same turns,
+    different order' conversations that turn-level dedup cannot."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.conv_scope import conv_text
+    from table_ocr_spark.operators.dedup import exact_duplicates
+
+    rows = [
+        ("a", 2, "third"), ("a", 0, "first"), ("a", 1, "second"),
+        ("b", 0, "first"), ("b", 1, "second"), ("b", 2, "third"),
+        ("c", 0, "third"), ("c", 1, "second"), ("c", 2, "first"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r.text for r in conv_text(df).collect()}
+    assert out["a"] == out["b"] == "first\nsecond\nthird"
+    assert out["c"] == "third\nsecond\nfirst"  # order matters at conv level
+    # repartition-invariant
+    out2 = {r.conv_id: r.text for r in conv_text(df.repartition(7)).collect()}
+    assert out2 == out
+    # conv-level dedup: a and b collapse; c (same turns, other order) survives
+    dups = exact_duplicates(conv_text(df), "text", "conv_id").collect()
+    assert len(dups) == 1 and dups[0].n_dups == 2 and dups[0].min_key == "a"
