@@ -375,11 +375,12 @@ def test_lsh_star_pivot_salt_and_candidates_bound(spark):
 
     plain = minhash_lsh_star_pairs(d).collect()
     assert {r.key_a for r in plain} == {0} and len(plain) == 7
-    salted = minhash_lsh_star_pairs(d, pivot_salt="1").collect()
+    salted = {(r.key_a, r.key_b) for r in minhash_lsh_star_pairs(d, pivot_salt="1").collect()}
     assert len(salted) == 7
-    # same set twice → deterministic; anchor differs from the plain min
-    assert salted == minhash_lsh_star_pairs(d, pivot_salt="1").collect()
-    anchors = {r.key_a for r in salted}
+    # same SET twice (row order is partition-dependent) → deterministic;
+    # anchor differs from the plain min
+    assert salted == {(r.key_a, r.key_b) for r in minhash_lsh_star_pairs(d, pivot_salt="1").collect()}
+    anchors = {a for a, _ in salted}
     assert len(anchors) == 1 and anchors != {0}
 
     # candidate bound: 8 clone docs in the index, every bucket truncated
