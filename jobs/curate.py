@@ -217,7 +217,9 @@ def build_curated(
             # is O(n) per bucket; measured at sf0.01, round 2 closes most
             # of the star-vs-all-pairs recall gap (BENCH/CURATE.md).
             surv = with_k
-            for r in range(max(1, near_dup_rounds)):
+            rounds = max(1, near_dup_rounds)
+            pend: list = []  # persisted survivor frames not yet droppable
+            for r in range(rounds):
                 cand = minhash_lsh_star_pairs(
                     surv,
                     "text",
@@ -228,11 +230,20 @@ def build_curated(
                 pairs = verify_pairs_jaccard(
                     cand, surv, text="text", key="_k", threshold=near_dup_threshold
                 )
+                # the CC inside runs EAGERLY (checkpointed edges) — once
+                # it has materialized through this round's surv, the
+                # frame persisted two rounds back is recompute-bounded
+                # (checkpoint-cut drops + cached with_k) and can go;
+                # holding every round's cache would pin O(rounds)
+                # corpus-sized entries at the 100 TB design point
                 surv = dedup_near_representatives(surv, pairs, key="_k")
-                if persist_extracted and r + 1 < max(1, near_dup_rounds):
+                if len(pend) >= 2:
+                    pend.pop(0).unpersist(False)
+                if persist_extracted and r + 1 < rounds:
                     # next round references the survivor frame from four
                     # branches (banding, both verify sides, anti-join)
                     surv = surv.persist(StorageLevel.MEMORY_AND_DISK)
+                    pend.append(surv)
             deduped = surv.drop("_k")
         else:
             cand = minhash_lsh_pairs(with_k, "text", "_k", max_bucket_size=near_dup_cap)
@@ -330,9 +341,21 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
     try:
         rows = out_table.read_changes(spark, after_seq=covered, until_seq=cur)
     except ValueError:
-        ops = {
-            out_table.manifest(s)["operation"] for s in range(covered + 1, cur + 1)
-        }
+        try:
+            ops = {
+                out_table.manifest(s)["operation"]
+                for s in range(covered + 1, cur + 1)
+            }
+        except ValueError:
+            # a manifest in the range has been EXPIRED (physical history
+            # GC, e.g. after jobs/forget.py --expire-keep) — nothing can
+            # be inferred about the gap, so take the safe full rebuild
+            ops = {"unknown"}
+        if index_table.current_seq() is None:
+            # first-time index bootstrap against a table whose history
+            # already contains non-append commits: band the live set
+            index_table.append(_band(out_table.read(spark)), summary={"data_seq": cur})
+            return
         if ops <= {"append", "compact"}:
             # compaction rewrites file LAYOUT but preserves every row, so
             # file-diff change tracking is void while row coverage is
@@ -594,30 +617,45 @@ def main(argv=None) -> int:
                 max_bucket_size=args.near_dedup_cap,
                 max_candidates_per_bucket=args.near_dedup_candidates,
             )
+            # the verify text frame holds BOTH sides, and a re-ingested
+            # (conv, turn) key can exist on both (the exact anti-join
+            # passes it when its text was rewritten) — an unprefixed
+            # union would fan the verify join out to new-vs-new (jaccard
+            # 1.0, spurious self-drop).  Side prefixes make every key
+            # unique: each candidate verifies NEW text against OLD text,
+            # so a rewritten re-ingest is dropped only if it genuinely
+            # near-matches its history version.
             old_texts = (
                 out_table.read(spark)
                 .select(
                     F.concat_ws(
                         "#", "conv_id", F.col("turn_idx").cast("string")
-                    ).alias("_k"),
+                    ).alias("_k0"),
                     "text",
                 )
                 .join(
-                    cand.select(F.col("key_old").alias("_k")).distinct(),
-                    "_k",
+                    cand.select(F.col("key_old").alias("_k0")).distinct(),
+                    "_k0",
                     "left_semi",
                 )
+                .select(F.concat(F.lit("o#"), "_k0").alias("_k"), "text")
+            )
+            new_texts = with_k.select(
+                F.concat(F.lit("n#"), "_k").alias("_k"), "text"
             )
             pairs = verify_pairs_jaccard(
                 cand.select(
-                    F.col("key_new").alias("key_a"), F.col("key_old").alias("key_b")
+                    F.concat(F.lit("n#"), "key_new").alias("key_a"),
+                    F.concat(F.lit("o#"), "key_old").alias("key_b"),
                 ),
-                with_k.select("_k", "text").unionByName(old_texts),
+                new_texts.unionByName(old_texts),
                 text="text",
                 key="_k",
                 threshold=args.near_dedup,
             )
-            drop = pairs.select(F.col("key_a").alias("_k")).distinct()
+            drop = pairs.select(
+                F.expr("substring(key_a, 3)").alias("_k")
+            ).distinct()
             curated = with_k.join(drop, "_k", "left_anti").drop("_k")
 
     # stage metrics ride the single write pass via observe — no extra scan
@@ -637,18 +675,45 @@ def main(argv=None) -> int:
 
     t0 = time.time()
 
+    def _obs_get(o, defaults: dict, degraded: list) -> dict:
+        # AQE's empty-relation fold can eliminate a CollectMetrics node
+        # when its input turns out empty at runtime (e.g. an increment
+        # whose every row anti-joins away), completing the observation
+        # with a null row — degrade to the zero-row defaults and record
+        # it rather than dying AFTER the data files were staged
+        try:
+            got = o.get
+            return got if got else dict(defaults)
+        except Exception:
+            degraded.append(list(defaults)[0])
+            return dict(defaults)
+
     def _metrics() -> dict:
         # only valid after the write action ran (observe() semantics)
+        degraded: list = []
         m = {
             "input": args.input,
             "output": args.output,
             "min_quality": args.min_quality,
             "langs": langs or "all",
-            **obs_in.get,
-            **obs_kept.get,
-            **obs.get,
+            **_obs_get(obs_in, {"rows_in": 0}, degraded),
+            **_obs_get(obs_kept, {"rows_kept": 0}, degraded),
+            **_obs_get(
+                obs,
+                {
+                    "rows_out": 0,
+                    "tokens_out": 0,
+                    "min_quality_out": None,
+                    "rows_train": 0,
+                    "rows_val": 0,
+                    "rows_test": 0,
+                },
+                degraded,
+            ),
         }
         m["dedup_collapsed"] = m["rows_kept"] - m["rows_out"]
+        if degraded:
+            m["metrics_degraded"] = degraded
         if in_seq is not None:
             m["input_seq_processed"] = in_seq
         return m

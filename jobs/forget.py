@@ -88,12 +88,30 @@ def main(argv=None) -> int:
         ).collect()
     ]
 
+    # duplicate turn keys are possible in the curated table (the
+    # cross-increment guard anti-joins on fingerprint, not key) — a
+    # duplicated source key would trip MERGE's cardinality check AFTER
+    # the data delete committed, leaving the index unscrubbed
+    keys = sorted(set(keys))
+
+    # the incremental curation resume marker (input_seq_processed) lives
+    # in append-commit summaries; carry the newest one forward on the
+    # merge commit, or an --expire-keep that drops those appends would
+    # reset the next incremental run to after_seq=0 — re-curating the
+    # whole input and RESURRECTING the just-forgotten conversations
+    # (their fingerprints are gone, so the anti-join can't stop them)
+    resume = {}
+    for h in reversed(data.history()):
+        if "input_seq_processed" in h["summary"]:
+            resume["input_seq_processed"] = h["summary"]["input_seq_processed"]
+            break
+
     summary = {"table": args.table, "conv_ids": len(ids), "rows_deleted": len(keys)}
     if keys:
         src = spark.createDataFrame([(c,) for c in ids], "conv_id string")
         seq = data.merge(
             spark, src, ["conv_id"], when_matched="delete",
-            summary={"forget_conv_ids": len(ids)},
+            summary={"forget_conv_ids": len(ids), **resume},
         )
         summary["data_seq"] = seq
         m = data.manifest(seq)["summary"]
@@ -103,9 +121,13 @@ def main(argv=None) -> int:
         idx = SnapshotTable(os.path.join(args.table, "lsh_index"))
         if idx.current_seq() is not None:
             ksrc = spark.createDataFrame([(k,) for k in keys], "_k string")
+            # data_seq: after the scrub the index covers the data table
+            # exactly at the merge seq — without recording that, the next
+            # curate run's sync would see a non-append commit and rebuild
+            # the whole index it already has
             summary["index_seq"] = idx.merge(
                 spark, ksrc, ["_k"], when_matched="delete",
-                summary={"forget_conv_ids": len(ids)},
+                summary={"forget_conv_ids": len(ids), "data_seq": seq},
             )
 
     if args.expire_keep > 0:

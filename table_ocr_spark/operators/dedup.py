@@ -462,20 +462,33 @@ def lsh_oversized_buckets(
 # ------------------------------------------------------------ simhash -----
 def simhash_col(text: str = "text", bits: int = 16) -> Column:
     """B-bit SimHash: bit b set iff more than half the distinct tokens have
-    bit b set in their 60-bit md5 hash. Engine-neutral and exact."""
+    bit b set in their 60-bit md5 hash. Engine-neutral and exact.
+
+    The hash array is LET-BOUND via the one-element ``transform()`` trick
+    (see ``word_shingles_col``): as a plain expression it would be
+    re-executed for the size check AND inside each of the ``bits``
+    filter passes — ~(bits+1)× the split+md5 work per row in interpreted
+    higher-order functions.  As a lambda variable it evaluates once."""
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text))), r"\s+"))
-    hashes = F.transform(toks, _hash60)
-    n = F.size(hashes)
-    out = F.lit(0).cast("long")
 
-    def _bit_filter(b: int):
-        mask = F.lit(2 ** b).cast("long")
-        return lambda h: h.bitwiseAND(mask) > 0
+    def _sim(hashes: Column) -> Column:
+        n = F.size(hashes)
+        out = F.lit(0).cast("long")
 
-    for b in range(bits):
-        cnt = F.size(F.filter(hashes, _bit_filter(b)))
-        out = out + F.when((cnt * 2) > n, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+        def _bit_filter(b: int):
+            mask = F.lit(2 ** b).cast("long")
+            return lambda h: h.bitwiseAND(mask) > 0
+
+        for b in range(bits):
+            cnt = F.size(F.filter(hashes, _bit_filter(b)))
+            out = out + F.when((cnt * 2) > n, F.lit(2 ** b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return F.element_at(
+        F.transform(F.array(F.transform(toks, _hash60)), _sim), 1
+    )
 
 
 def simhash_near_dup_pairs(

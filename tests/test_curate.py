@@ -568,3 +568,58 @@ def test_curate_compact_after_keeps_incremental_loop_working(spark, tmp_path, mo
     assert "overwrite" not in {h["operation"] for h in idx.history()}
     live_keys = {f"{r.conv_id}#{r.turn_idx}" for r in live.select("conv_id", "turn_idx").collect()}
     assert {r._k for r in idx.read(spark).select("_k").distinct().collect()} == live_keys
+
+
+def test_curate_incremental_reingest_rewritten_turn_not_self_dropped(spark, tmp_path, monkeypatch):
+    """A (conv_id, turn_idx) key re-appended in a later increment with
+    text that does NOT clear the near-dup threshold against its OLD
+    version must be kept: the verify compares new text vs old text, not
+    the new text against itself (which is always jaccard 1.0)."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def tx(pdf):
+        pdf = pdf.copy()
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    # 31 distinct words: appending one more gives word-set jaccard
+    # 31/32 ≈ 0.969 < 0.97 (below threshold → must be KEPT) while the
+    # shingle sets differ by one — the MinHash bands collide, so the
+    # candidate pair forms and the verify path is genuinely exercised
+    words = " ".join(f"w{i:02d}token" for i in range(31))
+    b1 = synth.gen_pandas(3, seed=81, max_long=20)
+    ts = b1["ts"].iloc[0]
+    b1 = pd.concat([b1, pd.DataFrame([{
+        "conv_id": "ri-conv", "turn_idx": 0, "role": "user",
+        "text": words, "tool": "", "ts": ts,
+    }])], ignore_index=True)
+
+    in_table = SnapshotTable(str(tmp_path / "in"))
+    in_table.append(tx(b1))
+    args = ["--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
+            "--min-quality", "0.0", "--input-snapshot", "--incremental",
+            "--snapshot", "--near-dedup", "0.97"]
+    assert C.main(args) == 0
+    out = SnapshotTable(str(tmp_path / "out" / "table"))
+    assert out.read(spark).filter(F.col("conv_id") == "ri-conv").count() == 1
+
+    # re-ingest the same key with one word appended (rewritten content)
+    b2 = pd.DataFrame([{
+        "conv_id": "ri-conv", "turn_idx": 0, "role": "user",
+        "text": words + " appended", "tool": "", "ts": ts,
+    }])
+    in_table.append(tx(b2))
+    assert C.main(args) == 0
+    ri = out.read(spark).filter(F.col("conv_id") == "ri-conv")
+    # both versions live (different fingerprints, similarity below J):
+    # the rewritten re-ingest was NOT self-dropped
+    assert ri.count() == 2

@@ -92,3 +92,15 @@ def test_forget_expire_physically_drops_history(spark, tmp_path, monkeypatch):
     with pytest.raises(Exception):
         data.read(spark, seq=1).filter(F.col("conv_id") == victim).count()
     assert data.read(spark).filter(F.col("conv_id") == victim).count() == 0
+
+    # the incremental resume marker survives expiry on the merge commit —
+    # a rerun with no new input must be a no-op, NOT a full re-ingest
+    # that would resurrect the forgotten conversation
+    assert "input_seq_processed" in data.history()[-1]["summary"]
+    assert C.main(args) == 0
+    assert data.read(spark).filter(F.col("conv_id") == victim).count() == 0
+    # and the index merge recorded its data_seq, so the sync above did
+    # not need a full rebuild to cover the forget commit
+    idx = SnapshotTable(str(tmp_path / "out" / "lsh_index"))
+    assert any("data_seq" in h["summary"] and h["operation"] == "merge"
+               for h in idx.history())
