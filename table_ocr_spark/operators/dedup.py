@@ -332,17 +332,21 @@ def minhash_lsh_star_pairs(
         banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     n_part = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     banded = banded.repartition(n_part, "band", "bucket")
-    # pivot = bucket min (or salted argmin): map-side-combined aggregate
-    # on the SAME (band, bucket) exchange the membership join reuses
+    # pivot = bucket min (or salted argmin) via a WINDOW over the same
+    # (band, bucket) partitioning — NOT an aggregate + join-back: the
+    # tiny pivot frame gets broadcast by AQE, and a broadcast side never
+    # reuses the repartition exchange, so the join form recomputed the
+    # ENTIRE shingle→signature subtree a second time (plan-guarded in
+    # tests/test_plans.py).  The window runs on the one exchange already
+    # there; per-task bucket size is bounded by max_bucket_size.
+    w = Window.partitionBy("band", "bucket")
     if pivot_salt:
         order = F.md5(F.concat(F.lit(pivot_salt), F.col("k").cast("string")))
-        pivots = banded.groupBy("band", "bucket").agg(
-            F.min_by("k", order).alias("_pivot")
-        )
+        pivot = F.min(F.struct(order.alias("o"), F.col("k").alias("k"))).over(w)["k"]
     else:
-        pivots = banded.groupBy("band", "bucket").agg(F.min("k").alias("_pivot"))
+        pivot = F.min("k").over(w)
     return (
-        banded.join(pivots, ["band", "bucket"])
+        banded.withColumn("_pivot", pivot)
         .filter(F.col("k") != F.col("_pivot"))
         .select(F.col("_pivot").alias("key_a"), F.col("k").alias("key_b"))
         .distinct()

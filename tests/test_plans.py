@@ -365,3 +365,50 @@ def test_salted_proportional_split_balances_tasks(spark, tmp_path_factory):
     assert total == src.count()
     mean = total / budget
     assert max(sizes) <= 2 * mean, sizes
+
+
+def test_star_lsh_single_signature_pass(spark):
+    """Star-form candidates: the pivot is a WINDOW min on the pinned
+    (band, bucket) repartition — exactly ONE shingle→signature subtree
+    in the plan.  (The aggregate+join-back form recomputed it twice:
+    AQE broadcasts the tiny pivot frame, and a broadcast side never
+    reuses the repartition exchange.)"""
+    import __spark_entry__ as E
+
+    df = E.queries()["minhash_lsh_star"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # one 8-permutation partial min-aggregate = 8 partial_min columns;
+    # a second signature subtree would double this
+    assert plan.count("partial_min") == 8, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_lsh_plan_shape(spark):
+    """Incremental candidates (increment bands × index): hash join on
+    (band, bucket), never a nested-loop form.  The contract query builds
+    the index in-plan (two signature subtrees: increment + index build);
+    the production pipeline reads the index from parquet, so the bound
+    here is two, not one."""
+    import __spark_entry__ as E
+
+    df = E.queries()["minhash_lsh_pairs_incremental"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("partial_min") <= 16, plan
+
+
+def test_conv_text_single_exchange(spark):
+    """conv_text is ONE partial-aggregated shuffle: collect_list partials
+    combine map-side and conversations cross the wire once — no window,
+    no second exchange, no sort of the full frame."""
+    from pyspark.sql import Row
+
+    from table_ocr_spark.operators.conv_scope import conv_text
+
+    df = spark.createDataFrame(
+        [Row(conv_id="a", turn_idx=i, text=f"t{i}") for i in range(4)]
+    )
+    plan = _plan(conv_text(df))
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+    assert "Window" not in plan, plan
