@@ -256,14 +256,6 @@ def minhash_lsh_pairs(
     at most total/cap exist) — safely broadcastable.
     """
     banded = _lsh_banded(df, text, key, k, bands, shingle_n)
-    if max_bucket_size is not None:
-        oversized = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     # Explicit-width co-partitioning for the pair stage.  AQE coalesces
     # shuffle reads by BYTES, and banded rows are tiny (key + 2 small
     # cols) while the within-bucket join emits O(bucket²) pairs — bytes
@@ -274,8 +266,29 @@ def minhash_lsh_pairs(
     # inherits cluster sizing from spark.sql.shuffle.partitions.
     n_part = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     banded = banded.repartition(n_part, "band", "bucket")
+    if max_bucket_size is not None:
+        # cap via a WINDOW count on the exchange already there — the
+        # former count-aggregate + broadcast anti-join recomputed the
+        # whole shingle→signature subtree (a broadcast side never reuses
+        # the repartition exchange).  The window co-locates each bucket
+        # in one task, which is exactly what the repartition above does
+        # anyway; the pathological bucket's rows move once and are
+        # dropped before any pairing.
+        banded = (
+            banded.withColumn(
+                "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+            )
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    # shuffle_hash hint: at small data AQE turns the self-join into a
+    # broadcast join, and the broadcast side recomputes the signature
+    # subtree instead of reusing the exchange — the hint keeps both
+    # sides on the ONE repartition (plan-guarded: a single signature
+    # pass).  At scale the banded frame exceeds any broadcast threshold
+    # and this is the join AQE would pick anyway.
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.k") < F.col("b.k")))
         .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
