@@ -423,23 +423,25 @@ def lsh_pairs_against(
     shuffle width — the same AQE-coalescing exemption as
     ``minhash_lsh_pairs`` (bytes wildly underestimate the pair stage's
     compute density; see that docstring)."""
-    new_banded = _lsh_banded(new_df, text, key, k, bands, shingle_n)
-    old_banded = index.select(F.col(key).alias("k"), "band", "bucket")
+    n_part = int(new_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    new_banded = _lsh_banded(new_df, text, key, k, bands, shingle_n).repartition(
+        n_part, "band", "bucket"
+    )
+    old_banded = index.select(F.col(key).alias("k"), "band", "bucket").repartition(
+        n_part, "band", "bucket"
+    )
     if max_bucket_size is not None:
-        for side in (new_banded, old_banded):
-            oversized = (
-                side.groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("_bsz"))
-                .filter(F.col("_bsz") > max_bucket_size)
-                .select("band", "bucket")
-            )
-            new_banded = new_banded.join(
-                F.broadcast(oversized), ["band", "bucket"], "left_anti"
-            )
-            old_banded = old_banded.join(
-                F.broadcast(oversized), ["band", "bucket"], "left_anti"
-            )
-    n_part = int(new_banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # sided cap as WINDOW counts on the exchanges already there (the
+        # former per-side broadcast anti-joins re-derived each side's
+        # subtree — incl. the increment's signature computation).  Each
+        # side drops only its OWN oversized buckets, which is
+        # pair-equivalent to dropping from both: a pair needs a row from
+        # each side, so zeroing either side zeroes the bucket's pairs.
+        w = Window.partitionBy("band", "bucket")
+        new_banded = new_banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        old_banded = old_banded.withColumn("_bo", F.count(F.lit(1)).over(w))
+        new_banded = new_banded.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+        old_banded = old_banded.filter(F.col("_bo") <= max_bucket_size).drop("_bo")
     if max_candidates_per_bucket is not None:
         w = Window.partitionBy("band", "bucket").orderBy("k")
         old_banded = (
@@ -447,8 +449,8 @@ def lsh_pairs_against(
             .filter(F.col("_rn") <= max_candidates_per_bucket)
             .drop("_rn")
         )
-    a = new_banded.repartition(n_part, "band", "bucket").alias("a")
-    b = old_banded.repartition(n_part, "band", "bucket").alias("b")
+    a = new_banded.alias("a")
+    b = old_banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
         .select(F.col("a.k").alias("key_new"), F.col("b.k").alias("key_old"))
@@ -556,7 +558,9 @@ def simhash_near_dup_pairs(
         "band",
         "bucket",
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash: keep small inputs off the broadcast path, which would
+    # recompute the simhash projection instead of reusing the exchange
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     ham = hamming_col(F.col("a.sh"), F.col("b.sh"), bits)
     return (
         a.join(

@@ -311,7 +311,9 @@ def embedding_near_dup_lsh(
         "band",
         "bucket",
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash: keep small inputs off the broadcast path, which would
+    # recompute the hyperplane projection instead of reusing the exchange
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     cos = cosine_col(
         F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")
     )
