@@ -1771,7 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_hocr": q_spans_hocr,
         "stream_extract_clean": q_stream_extract_clean,              # streaming == batch equality
         "conv_metrics": q_conv_metrics,
-        # ---- text analysis / curation (4) — the 6 stat kernels are 3-4x green, tail ----
+        # ---- text analysis / curation (9) — the 6 stat kernels are 3-4x green, tail ----
         "dataset_split": q_dataset_split,                            # deterministic hash split
         "global_shuffle_index": q_global_shuffle_index,              # NEW r5: bucket-offset global order
         "docs_source_cap": q_docs_source_cap,                        # NEW r5: skew-safe per-domain quota
@@ -1808,8 +1808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_moving_avg": q_events_range_moving_avg,        # RANGE frame
         "events_distinct_users_approx": q_events_distinct_users_approx,  # HLL hard gate
         "events_asof_join": q_events_asof_join,
-        # ---- entry 50 ends at docs_hash_sample: the three new curation
-        # ops displaced the 2-green q3/q5/q18 backfill into the tail ----
+        # ---- the gate window (entries 1-50) ENDS HERE, at
+        # events_asof_join — run tools/check_contract.py after any
+        # insertion/demotion to re-verify the boundary ----
         # ======= tail: 2-4x-green stable entries (demoted r5) =======
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,

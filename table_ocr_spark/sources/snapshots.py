@@ -95,14 +95,19 @@ class FileEntry:
 
 
 def _json_safe(v):
-    """Footer stat -> JSON-storable scalar with order-preserving encoding."""
+    """Footer stat -> JSON-storable scalar with order-preserving encoding.
+
+    Bytes that are not valid UTF-8 return None (stat unusable): hex would
+    sort differently from the raw bytes AND differently from a sibling
+    file whose value happened to decode — two incomparable encodings in
+    one column make pruning unsound, so the stat is dropped instead."""
     import datetime
 
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")
         except UnicodeDecodeError:
-            return v.hex()
+            return None
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()  # ISO-8601 sorts like the timestamp it encodes
     if isinstance(v, float) or isinstance(v, int) or isinstance(v, str) or v is None:
@@ -117,6 +122,7 @@ def _footer_stats(abs_path: str) -> Tuple[int, Dict[str, List[Any]]]:
     md = pq.ParquetFile(abs_path).metadata
     mins: Dict[str, Any] = {}
     maxs: Dict[str, Any] = {}
+    nulls: Dict[str, Any] = {}  # total null count, or None when unknown
     dropped: set = set()  # any stat-less row group poisons the column
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -130,13 +136,26 @@ def _footer_stats(abs_path: str) -> Tuple[int, Dict[str, List[Any]]]:
                 dropped.add(name)
                 mins.pop(name, None)
                 maxs.pop(name, None)
+                nulls.pop(name, None)
                 continue
+            nc = st.null_count if st.has_null_count else None
             if name not in mins:
-                mins[name], maxs[name] = st.min, st.max
+                mins[name], maxs[name], nulls[name] = st.min, st.max, nc
             else:
                 mins[name] = min(mins[name], st.min)
                 maxs[name] = max(maxs[name], st.max)
-    stats = {k: [_json_safe(mins[k]), _json_safe(maxs[k])] for k in mins}
+                nulls[name] = (
+                    None if (nc is None or nulls[name] is None) else nulls[name] + nc
+                )
+    stats = {}
+    for k in mins:
+        lo, hi = _json_safe(mins[k]), _json_safe(maxs[k])
+        if (mins[k] is not None and lo is None) or (maxs[k] is not None and hi is None):
+            continue  # un-encodable (non-UTF-8 binary) — no stats, no pruning
+        # third element = null count (None = unknown): min/max describe
+        # only NON-NULL values, so "range fully covers the file" is NOT
+        # "every row matches" unless the file provably has zero nulls
+        stats[k] = [lo, hi, nulls[k]]
     return md.num_rows, stats
 
 
@@ -341,13 +360,48 @@ class SnapshotTable:
             summary = {**(summary or {}), **summary_fn()}
         for _ in range(max_retries):
             cur = self.current_seq()
-            base = self.manifest(cur)["files"] if cur is not None else []
+            base_m = self.manifest(cur) if cur is not None else {}
+            base = base_m.get("files", [])
+            # a rebase must adopt the base's EVOLVED schema, not re-publish
+            # the one captured at staging time: a concurrent add_columns
+            # would otherwise be silently reverted for every later reader.
+            # Our staged files must be name-subset-compatible with it
+            # (they are whenever the only mid-flight change was additive —
+            # old-shape files null-fill on read); anything else is a real
+            # conflict, surfaced rather than committed.
+            commit_schema = schema_json
+            base_schema = base_m.get("schema")
+            if base_schema and schema_json and base_schema != schema_json:
+                ours = {
+                    f["name"]: json.dumps(f["type"], sort_keys=True)
+                    for f in json.loads(schema_json)["fields"]
+                }
+                theirs = {
+                    f["name"]: json.dumps(f["type"], sort_keys=True)
+                    for f in json.loads(base_schema)["fields"]
+                }
+                if all(theirs.get(n) == t for n, t in ours.items()):
+                    commit_schema = base_schema
+                else:
+                    raise CommitConflict(
+                        f"append staged schema is incompatible with the "
+                        f"table's current schema at {self.root} (concurrent "
+                        f"non-additive evolution)"
+                    )
+            # the exactly-once streaming watermark rides every commit —
+            # a plain append must not erase it, or expire() + a replayed
+            # micro-batch double-commits
+            carried = {
+                k: v
+                for k, v in base_m.get("summary", {}).items()
+                if k == "stream_max_epoch" and k not in (summary or {})
+            }
             try:
                 return self.commit(
                     [FileEntry.from_json(d) for d in base] + new_files,
                     "append",
-                    summary=summary,
-                    schema_json=schema_json,
+                    summary={**carried, **(summary or {})},
+                    schema_json=commit_schema,
                     expected_parent=cur,
                 )
             except CommitConflict:
@@ -367,12 +421,21 @@ class SnapshotTable:
         """Commit a NEW snapshot whose live set equals snapshot ``seq``
         (history-preserving rollback, as Iceberg's rollback-to-snapshot)."""
         old = self.manifest(seq)
+        cur = self.current_seq()
+        # carry the CURRENT epoch watermark (not the rollback target's):
+        # the stream already committed those epochs — rolling the data
+        # back must not open the door to replaying them twice
+        carried = {
+            k: v
+            for k, v in (self.manifest(cur).get("summary", {}) or {}).items()
+            if k == "stream_max_epoch"
+        }
         return self.commit(
             [FileEntry.from_json(d) for d in old["files"]],
             "rollback",
-            summary={**(summary or {}), "rolled_back_to": seq},
+            summary={**carried, **(summary or {}), "rolled_back_to": seq},
             schema_json=old.get("schema"),
-            expected_parent=self.current_seq(),
+            expected_parent=cur,
         )
 
     # ------------------------------------------------------------------- read
@@ -388,11 +451,14 @@ class SnapshotTable:
             if st is None:  # no stats -> cannot prove absent -> must read
                 keep.append(f)
                 continue
-            fmin, fmax = st
-            if (hi_s is not None and fmin is not None and fmin > hi_s) or (
-                lo_s is not None and fmax is not None and fmax < lo_s
-            ):
-                continue  # file's [min,max] disjoint from [lo,hi]
+            fmin, fmax = st[0], st[1]
+            try:
+                if (hi_s is not None and fmin is not None and fmin > hi_s) or (
+                    lo_s is not None and fmax is not None and fmax < lo_s
+                ):
+                    continue  # file's [min,max] disjoint from [lo,hi]
+            except TypeError:
+                pass  # incomparable probe/stat types -> cannot prune
             keep.append(f)
         return keep
 
@@ -445,6 +511,8 @@ class SnapshotTable:
         raises rather than silently double-counting (same contract as
         Iceberg's incremental read)."""
         cur = self.current_seq()
+        if cur is None:
+            raise ValueError(f"snapshot table at {self.root} has no snapshots")
         until_seq = cur if until_seq is None else until_seq
         if after_seq > until_seq:
             raise ValueError(f"after_seq {after_seq} > until_seq {until_seq}")
@@ -689,7 +757,12 @@ class SnapshotTable:
         # normalize: input_file_name yields a URI (file:///...); manifest
         # paths are plain — compare on the path tail
         def _norm(p: str) -> str:
-            return p.split("://", 1)[-1].lstrip("/")
+            # input_file_name() yields a percent-ENCODED URI — decode it
+            # or a root containing spaces/non-ASCII never matches the raw
+            # manifest path and MERGE quietly inserts instead of updating
+            from urllib.parse import unquote
+
+            return unquote(p.split("://", 1)[-1].lstrip("/"))
         matched_norm = {_norm(p) for p in matched_files}
         touched = [
             f for f in files
@@ -786,19 +859,39 @@ class SnapshotTable:
             if st is None:
                 straddle.append(f)  # no stats: must rewrite to be safe
                 continue
-            fmin, fmax = st
-            if fmin is not None and fmin > hi_s or fmax is not None and fmax < lo_s:
-                disjoint.append(f)
-            elif fmin is not None and fmax is not None and fmin >= lo_s and fmax <= hi_s:
-                covered.append(f)
-            else:
-                straddle.append(f)
+            fmin, fmax = st[0], st[1]
+            # null count (None = unknown, legacy 2-element stats included):
+            # min/max describe NON-NULL values only, and NULL is never in
+            # [lo, hi] — a file is metadata-droppable only when the range
+            # covers it AND it provably holds zero nulls; a NULL-bearing
+            # file whose non-null values are covered must REWRITE to keep
+            # its null rows
+            fnull = st[2] if len(st) > 2 else None
+            try:
+                if fmin is not None and fmin > hi_s or fmax is not None and fmax < lo_s:
+                    disjoint.append(f)
+                elif (
+                    fmin is not None
+                    and fmax is not None
+                    and fmin >= lo_s
+                    and fmax <= hi_s
+                    and fnull == 0
+                ):
+                    covered.append(f)
+                else:
+                    straddle.append(f)
+            except TypeError:
+                straddle.append(f)  # incomparable types: rewrite to be safe
 
         new_files: List[FileEntry] = []
         schema_json = m.get("schema")
         if straddle:
+            # NULL is not in [lo, hi]: the complement filter must KEEP
+            # null rows (the raw negation evaluates to NULL for them,
+            # silently dropping every null row of a rewritten file)
             remain = self.read_files(spark, straddle, schema_json).filter(
-                ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+                F.col(col).isNull()
+                | ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
             )
             new_files, schema_json = self._stage_df(remain)
         carried = {k: v for k, v in m.get("summary", {}).items() if k == "stream_max_epoch"}
@@ -819,31 +912,63 @@ class SnapshotTable:
 
     # ------------------------------------------------------------------ expire
 
-    def expire(self, keep_last: int) -> dict:
+    def expire(self, keep_last: int, orphan_grace_seconds: int = 3600) -> dict:
         """Drop all but the last ``keep_last`` manifests and GC data files
         referenced by NO retained manifest.  Metadata-only + unlink —
-        never touches live bytes."""
+        never touches live bytes.
+
+        ``orphan_grace_seconds``: a data file referenced by no manifest at
+        all is either garbage from a dead writer or a CONCURRENT writer's
+        staged-but-not-yet-committed file (``_stage_df`` publishes data
+        before the manifest commit) — deleting the latter would make the
+        racing commit publish a manifest pointing at missing files.
+        Unreferenced files younger than the grace window are left alone
+        (Iceberg's orphan-file-cleanup retention contract); files
+        referenced by an EXPIRED manifest are removed regardless of age —
+        their commit already happened and lost its retention."""
+        if keep_last < 1:
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}); "
+                "0 would expire the CURRENT snapshot and destroy the table"
+            )
+        import time as _time
+
         cur = self.current_seq()
         if cur is None:
             return {"manifests_removed": 0, "files_removed": 0}
         cutoff = cur - keep_last + 1
         live: set = set()
+        expired_refs: set = set()
         removed_manifests = 0
         for seq in range(1, cur + 1):
             p = self._snap_path(seq)
             if not os.path.exists(p):
                 continue
+            with open(p) as f:
+                refs = {d["path"] for d in json.load(f)["files"]}
             if seq < cutoff:
                 os.unlink(p)
                 removed_manifests += 1
+                expired_refs.update(refs)
             else:
-                with open(p) as f:
-                    live.update(d["path"] for d in json.load(f)["files"])
+                live.update(refs)
         removed_files = 0
+        now = _time.time()
         if os.path.isdir(self.data_dir):
             for name in os.listdir(self.data_dir):
                 rel = os.path.join("data", name)
-                if rel not in live:
-                    os.unlink(os.path.join(self.data_dir, name))
-                    removed_files += 1
+                if rel in live:
+                    continue
+                full = os.path.join(self.data_dir, name)
+                if rel not in expired_refs:
+                    # never referenced by any manifest: possibly a racing
+                    # writer's staged file — only collect it once it has
+                    # outlived the grace window
+                    try:
+                        if now - os.path.getmtime(full) < orphan_grace_seconds:
+                            continue
+                    except OSError:
+                        continue
+                os.unlink(full)
+                removed_files += 1
         return {"manifests_removed": removed_manifests, "files_removed": removed_files}

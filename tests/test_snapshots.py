@@ -225,3 +225,105 @@ def test_incremental_read_changes(spark, tmp_path):
     # but a fresh watermark past the compact works again
     t.append(_batch(spark, 30, 35, "d"))
     assert _rows(t.read_changes(spark, after_seq=4)) == _rows(_batch(spark, 30, 35, "d"))
+
+
+def test_delete_range_preserves_null_rows(spark, tmp_path):
+    """NULL is never in [lo, hi]: null-bearing files must not be dropped
+    metadata-only, and rewritten files must keep their null rows (the
+    raw negated filter evaluates to NULL for them)."""
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, None)], "k long, v long"
+    ).coalesce(1)
+    t.append(df)
+    # delete the whole non-null range: the single file's [min,max] is
+    # fully covered, but it carries nulls -> must REWRITE, keeping them
+    t.delete_range(spark, "v", 0, 100)
+    left = t.read(spark).collect()
+    assert sorted(r.k for r in left) == [3, 4]
+    assert all(r.v is None for r in left)
+
+
+def test_expire_guards_and_orphan_grace(spark, tmp_path):
+    """keep_last < 1 would expire the current snapshot (total data loss)
+    and must raise; an unreferenced data file younger than the grace
+    window (a racing writer's staged file) survives expire."""
+    import pytest as _pytest
+
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 5, "a"))
+    with _pytest.raises(ValueError, match="keep_last"):
+        t.expire(keep_last=0)
+    # simulate a concurrent writer's freshly staged (uncommitted) file
+    staged = t.data_dir + "/inflight-test.parquet"
+    with open(staged, "wb") as f:
+        f.write(b"not yet committed")
+    t.append(_batch(spark, 5, 10, "b"))
+    r = t.expire(keep_last=1)
+    import os
+    assert os.path.exists(staged), r  # inside the grace window: kept
+    assert t.expire(keep_last=1, orphan_grace_seconds=0)["files_removed"] >= 1
+    assert not os.path.exists(staged)  # grace elapsed: collected
+    assert t.read(spark).count() == 10  # live data untouched throughout
+
+
+def test_read_changes_empty_table_raises_cleanly(spark, tmp_path):
+    import pytest as _pytest
+
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    with _pytest.raises(ValueError, match="no snapshots"):
+        t.read_changes(spark, after_seq=0)
+
+
+def test_append_rebase_adopts_evolved_schema_and_carries_epoch(spark, tmp_path):
+    """A concurrent additive evolution landing between an append's staging
+    and its commit must not be reverted: the rebase commits the base's
+    evolved schema.  A plain append also carries the exactly-once
+    streaming watermark forward instead of erasing it."""
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_batch(spark, 0, 5, "a"), summary={"stream_max_epoch": 7})
+
+    orig = t._stage_df
+
+    def hooked(df):
+        out = orig(df)
+        # a concurrent writer evolves the schema mid-flight
+        t.add_columns([("extra", "double")])
+        return out
+
+    t._stage_df = hooked
+    try:
+        seq = t.append(_batch(spark, 5, 10, "b"))
+    finally:
+        t._stage_df = orig
+    m = t.manifest(seq)
+    import json as _json
+    names = [f["name"] for f in _json.loads(m["schema"])["fields"]]
+    assert "extra" in names  # evolution NOT silently reverted
+    assert m["summary"]["stream_max_epoch"] == 7  # watermark carried
+    got = t.read(spark)
+    assert "extra" in got.columns and got.count() == 10
+
+
+def test_merge_handles_percent_encoded_roots(spark, tmp_path):
+    """A root with spaces: input_file_name() yields a percent-encoded
+    URI; merge must still match files and UPDATE instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "my tables" / "t"))
+    t.append(_batch(spark, 0, 5, "a"))
+    src = spark.createDataFrame([(2, "UPDATED")], "k int, tag string")
+    t.merge(spark, src, ["k"], when_matched="update")
+    out = t.read(spark)
+    assert out.count() == 5  # no duplicate k=2
+    assert out.filter(F.col("k") == 2).first().tag == "UPDATED"
