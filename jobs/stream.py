@@ -54,6 +54,10 @@ def main(argv=None) -> int:
         "across the ingest history",
     )
     args = ap.parse_args(argv)
+    if args.strip_conv_boilerplate and args.snapshot_sink:
+        # silently taking one branch would hand the user a sink WITHOUT
+        # the exactly-once per-epoch commits they asked for
+        raise SystemExit("--strip-conv-boilerplate and --snapshot-sink are mutually exclusive")
 
     from jobs.extract import _resolve_config
     from table_ocr_spark.session import build_session
@@ -101,27 +105,33 @@ def main(argv=None) -> int:
             spark, args.input, args.output, args.checkpoint, cfg, available_now=args.once
         )
 
-    q.awaitTermination()
-    # recentProgress survives query termination (lastProgress is often None
-    # after an AvailableNow drain); count only batches that moved rows —
-    # the drain can emit trailing zero-row progress entries
-    recent = q.recentProgress or []
-    print(
-        json.dumps(
-            {
-                "sink": args.output,
-                "batches_seen": sum(
-                    1 for p in recent if int(p.get("numInputRows") or 0) > 0
-                ),
-                "rows_seen": sum(
-                    int((p.get("numInputRows") or 0)) for p in recent
-                ),
-                "mode": "conv_strip" if args.strip_conv_boilerplate else "extract",
-                "once": args.once,
-            }
+    try:
+        q.awaitTermination()
+        # recentProgress survives query termination (lastProgress is often
+        # None after an AvailableNow drain); count only batches that moved
+        # rows — the drain can emit trailing zero-row progress entries.
+        # NB these are INPUT-side tallies: in --snapshot-sink mode a
+        # crash-replayed batch reports its input rows here even though the
+        # sink idempotently skipped it, so reconcile against the snapshot
+        # table's own row count, not this number.
+        recent = q.recentProgress or []
+        print(
+            json.dumps(
+                {
+                    "sink": args.output,
+                    "batches_seen": sum(
+                        1 for p in recent if int(p.get("numInputRows") or 0) > 0
+                    ),
+                    "rows_seen": sum(
+                        int((p.get("numInputRows") or 0)) for p in recent
+                    ),
+                    "mode": "conv_strip" if args.strip_conv_boilerplate else "extract",
+                    "once": args.once,
+                }
+            )
         )
-    )
-    spark.stop()
+    finally:
+        spark.stop()
     return 0
 
 

@@ -28,6 +28,7 @@ shape is identical.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -119,6 +120,26 @@ def run_extract(
     chash = cfg.config_hash()
     table.write_config(cfg.to_json(), chash)
 
+    # bucketing is a property of the OUTPUT LAYOUT under this config:
+    # resume is keyed by (config_hash, bucket), so rerunning the same
+    # output with a different --buckets would skip the wrong buckets and
+    # mix two incompatible mod-N layouts in one partition dir — refuse
+    # loudly instead (same-output reruns must keep their bucketing)
+    bpath = os.path.join(table.config_dir, f"{chash}.buckets")
+    if os.path.exists(bpath):
+        with open(bpath) as f:
+            prev_buckets = int(f.read().strip())
+        if prev_buckets != n_buckets:
+            raise ValueError(
+                f"output at {output_root} is bucketed with n_buckets="
+                f"{prev_buckets} under this config; rerun with "
+                f"--buckets {prev_buckets} or use a fresh output root"
+            )
+    else:
+        os.makedirs(table.config_dir, exist_ok=True)
+        with open(bpath, "w") as f:
+            f.write(str(n_buckets))
+
     committed = table.committed_buckets(spark, chash) if resume else set()
     result = RunResult(run_id=run_id, config_hash=chash, n_buckets=n_buckets)
     result.skipped_buckets = sorted(committed)
@@ -161,18 +182,25 @@ def run_extract(
         # just-written output from disk per commit group (a second full I/O
         # pass over the output at 100 TB).
         obs = Observation(f"metrics-{run_id}-g{g}")
+        # materialize the interpreted HOF ONCE as a column: embedding the
+        # aggregate(transform(...)) subtree in every per-bucket sum would
+        # re-traverse the cells array |todo| times per row inside
+        # CollectMetrics (interpreted lambdas re-execute per reference —
+        # the measured pitfall behind dedup.word_shingles_col)
         cell_count = F.aggregate(F.transform("cells", F.size), F.lit(0), lambda a, x: a + x)
+        ex = ex.withColumn("_cell_count", cell_count)
         aggs = []
         for b in todo:
             is_b = F.col("bucket") == b
             aggs += [
                 F.count(F.when(is_b, 1)).alias(f"turns_{b}"),
                 F.sum(F.when(is_b, F.col("boilerplate_ratio"))).alias(f"bp_{b}"),
-                F.sum(F.when(is_b, cell_count)).alias(f"cells_{b}"),
+                F.sum(F.when(is_b, F.col("_cell_count"))).alias(f"cells_{b}"),
             ]
         ex = ex.observe(obs, *aggs)
         (
-            ex.write.mode("overwrite")
+            ex.drop("_cell_count")
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(table.config_data_dir(chash))
         )

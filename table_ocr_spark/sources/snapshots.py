@@ -394,7 +394,7 @@ class SnapshotTable:
             carried = {
                 k: v
                 for k, v in base_m.get("summary", {}).items()
-                if k == "stream_max_epoch" and k not in (summary or {})
+                if k in ("stream_max_epoch", "stream_epochs") and k not in (summary or {})
             }
             try:
                 return self.commit(
@@ -412,9 +412,22 @@ class SnapshotTable:
         """Replace the table's live set with ``df`` (no retry: an overwrite
         that raced must re-validate against the new state by design)."""
         new_files, schema_json = self._stage_df(df)
+        cur = self.current_seq()
+        # the exactly-once streaming watermark survives every commit kind —
+        # an overwrite that erased it would let an expire + replayed
+        # micro-batch double-commit (every other operation carries it too)
+        carried = {}
+        if cur is not None:
+            carried = {
+                k: v
+                for k, v in (self.manifest(cur).get("summary", {}) or {}).items()
+                if k in ("stream_max_epoch", "stream_epochs")
+            }
         return self.commit(
-            new_files, "overwrite", summary=summary, schema_json=schema_json,
-            expected_parent=self.current_seq(),
+            new_files, "overwrite",
+            summary={**carried, **(summary or {})},
+            schema_json=schema_json,
+            expected_parent=cur,
         )
 
     def rollback(self, seq: int, summary: Optional[dict] = None) -> int:
@@ -428,7 +441,7 @@ class SnapshotTable:
         carried = {
             k: v
             for k, v in (self.manifest(cur).get("summary", {}) or {}).items()
-            if k == "stream_max_epoch"
+            if k in ("stream_max_epoch", "stream_epochs")
         }
         return self.commit(
             [FileEntry.from_json(d) for d in old["files"]],
@@ -599,7 +612,7 @@ class SnapshotTable:
         carried = {
             k: v
             for k, v in m.get("summary", {}).items()
-            if k == "stream_max_epoch"
+            if k in ("stream_max_epoch", "stream_epochs")
         }
         return self.commit(
             new_files,
@@ -649,7 +662,7 @@ class SnapshotTable:
                 raise ValueError(f"column {name!r} already exists")
         for name, typ in cols:
             schema = schema.add(name, typ, True)
-        carried = {k: v for k, v in m.get("summary", {}).items() if k == "stream_max_epoch"}
+        carried = {k: v for k, v in m.get("summary", {}).items() if k in ("stream_max_epoch", "stream_epochs")}
         return self.commit(
             [FileEntry.from_json(d) for d in m["files"]],
             "evolve",
@@ -786,7 +799,7 @@ class SnapshotTable:
         if new_rows is not None:
             new_files, schema_json = self._stage_df(new_rows)
         src.unpersist()
-        carried = {k: v for k, v in m.get("summary", {}).items() if k == "stream_max_epoch"}
+        carried = {k: v for k, v in m.get("summary", {}).items() if k in ("stream_max_epoch", "stream_epochs")}
         return self.commit(
             untouched + new_files,
             "merge",
@@ -894,7 +907,7 @@ class SnapshotTable:
                 | ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
             )
             new_files, schema_json = self._stage_df(remain)
-        carried = {k: v for k, v in m.get("summary", {}).items() if k == "stream_max_epoch"}
+        carried = {k: v for k, v in m.get("summary", {}).items() if k in ("stream_max_epoch", "stream_epochs")}
         return self.commit(
             disjoint + new_files,
             "delete",

@@ -83,6 +83,13 @@ def stream_dedup_exact(
     src = read_transcript_stream(spark, input_dir)
     return (
         src.withColumn("fingerprint", fingerprint_col("text"))
+        # ts is nullable in TRANSCRIPT_SCHEMA, and a NULL event time
+        # fails the watermark's late-row predicate — once a watermark is
+        # established every null-ts row would be silently DISCARDED, not
+        # just deduped.  Processing-time fallback keeps them flowing
+        # (they dedup against the state horizon of their arrival time,
+        # the standard treatment for clock-less records).
+        .withColumn("ts", F.coalesce(F.col("ts"), F.current_timestamp()))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )

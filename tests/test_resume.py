@@ -121,3 +121,24 @@ def test_turn_seq_is_dense_per_conversation(spark, input_path, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_rerun_with_different_bucketing_refuses(spark, tmp_path):
+    """Resume is keyed by (config_hash, bucket): rerunning the same
+    output with a different --buckets would skip the wrong buckets of the
+    new mod-N layout and mix two bucketings in one partition dir — the
+    job must refuse loudly instead."""
+    import pytest as _pytest
+
+    from table_ocr_spark.plans.pipeline import run_extract
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+    from table_ocr_spark.synth import gen_pandas
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    write_transcripts_parquet(gen_pandas(4, seed=5, max_long=15), inp)
+    run_extract(spark, inp, out, n_buckets=4, commit_groups=2)
+    with _pytest.raises(ValueError, match="n_buckets=4"):
+        run_extract(spark, inp, out, n_buckets=8, commit_groups=2)
+    # same bucketing resumes cleanly (all buckets already committed)
+    res = run_extract(spark, inp, out, n_buckets=4, commit_groups=2)
+    assert res.skipped_buckets == [0, 1, 2, 3]

@@ -81,3 +81,32 @@ def test_replayed_epoch_is_skipped_exactly_once(spark, tmp_path):
     # and the next real epoch commits normally
     writer(df, 2)
     assert t.current_seq() == 3 and last_stream_epoch(t) == 2
+
+
+def test_fresh_checkpoint_stream_not_skipped_as_replay(spark, tmp_path):
+    """The epoch watermark is scoped per stream (its checkpoint identity,
+    Delta's txnAppId pattern): a NEW stream whose batchIds restart at 0
+    must not have its first batches silently skipped as 'replays' of an
+    old stream's epochs — while each stream's own replays still skip."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+
+    a = snapshot_batch_writer(root, stream_id="ckpt-A")
+    a(df, 0)
+    a(df, 1)
+    t = SnapshotTable(root)
+    assert t.read(spark).count() == 2
+
+    # stream B: fresh checkpoint, batchIds restart at 0 — MUST commit
+    b = snapshot_batch_writer(root, stream_id="ckpt-B")
+    b(df, 0)
+    assert t.read(spark).count() == 3
+    # B's own replay of epoch 0 skips; A's replay of epoch 1 skips;
+    # B's next epoch commits
+    b(df, 0)
+    a(df, 1)
+    assert t.read(spark).count() == 3
+    b(df, 1)
+    assert t.read(spark).count() == 4
+    assert last_stream_epoch(t, "ckpt-A") == 1
+    assert last_stream_epoch(t, "ckpt-B") == 1

@@ -120,3 +120,42 @@ def test_stream_cli_summary_reports_batches(spark, tmp_path, monkeypatch, capsys
     assert out["batches_seen"] >= 1
     assert out["rows_seen"] == n_rows
     assert out["mode"] == "extract" and out["once"] is True
+
+
+def test_stream_dedup_keeps_null_ts_rows(spark, tmp_path):
+    """Rows with NULL ts must flow through the streaming dedup (via the
+    processing-time fallback), not silently vanish once a watermark is
+    established — the batch dedup keeps them, so must the stream."""
+    import pandas as pd
+
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+    from table_ocr_spark.streaming.stream_extract import stream_dedup_exact
+
+    src_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    base = pd.Timestamp("2026-01-01 00:00:00", tz="UTC")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1", "c2", "c3"],
+            "turn_idx": pd.array([0] * 4, dtype="int32"),
+            "role": ["user"] * 4,
+            # c1/c2: unique payloads with NULL ts; c3 dups c0's payload
+            "text": ["same A", "null ts uniq", "null ts other", "same A"],
+            "tool": pd.array([None] * 4, dtype="string"),
+            "ts": pd.array([base, None, None, base + pd.Timedelta(minutes=1)],
+                           dtype="datetime64[us, UTC]"),
+        }
+    )
+    write_transcripts_parquet(pdf, src_dir, n_files=2)
+    q = (
+        stream_dedup_exact(spark, src_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    texts = sorted(r.text for r in spark.read.parquet(out).select("text").collect())
+    assert texts == ["null ts other", "null ts uniq", "same A"]
