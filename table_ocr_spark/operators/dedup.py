@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from table_ocr_spark.operators.textstats import fingerprint_col
+from table_ocr_spark.operators.textstats import fingerprint_col, hash60_col
 
 
 # ------------------------------------------------------------- exact ------
@@ -88,10 +88,9 @@ def word_shingles_col(text: str = "text", n: int = 2) -> Column:
     return F.array_distinct(sh)
 
 
-def _hash60(col: Column) -> Column:
-    """Engine-neutral 60-bit hash: first 15 hex chars of md5 → bigint.
-    DuckDB equivalent: ('0x' || substr(md5(x), 1, 15))::BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+# the pinned 60-bit hash lives in textstats (hash60_col); re-exported
+# here for the existing _hash60 consumers (decontam imports it too)
+_hash60 = hash60_col
 
 
 def _hash32(col: Column) -> Column:

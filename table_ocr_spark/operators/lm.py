@@ -88,9 +88,13 @@ def ngram_lm_score(
     Docs with fewer than 2 tokens score 0.0 with n_bigrams = 0 (no
     transitions to judge — the caller's length filter owns that case).
 
-    NOTE the input is referenced by three branches (unigram counts,
-    bigram counts, scoring); persist the source upstream if tokenizing
-    it is expensive (jobs/curate.py's persist discipline)."""
+    The exploded bigram frame is persisted INSIDE this function: it is
+    referenced by both the model-count aggregation and the scoring join,
+    and persisting the raw source upstream does not help — each branch
+    would still re-run the tokenize+explode projection, the dominant
+    cost at corpus scale.  (MEMORY_AND_DISK, narrow (_k, wp, w) rows.)"""
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(key).alias("_k"), bigram_pairs_col(text).alias("_bg")
     )
@@ -101,9 +105,11 @@ def ngram_lm_score(
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_cu"))
     total = uni.agg(F.sum("_cu").alias("_T"))
 
-    bg_occ = base.select(
-        "_k", F.explode("_bg").alias("_b")
-    ).select("_k", F.col("_b.wp").alias("wp"), F.col("_b.w").alias("w"))
+    bg_occ = (
+        base.select("_k", F.explode("_bg").alias("_b"))
+        .select("_k", F.col("_b.wp").alias("wp"), F.col("_b.w").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     big = (
         bg_occ.groupBy("wp", "w")

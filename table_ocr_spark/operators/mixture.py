@@ -32,7 +32,9 @@ PPM = 1_000_000
 
 
 def _hash60_str(col):
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    from table_ocr_spark.operators.textstats import hash60_col
+
+    return hash60_col(col.cast("string"))
 
 
 def mixture_rates(df: DataFrame, targets: dict, group: str = "lang") -> DataFrame:
@@ -40,26 +42,43 @@ def mixture_rates(df: DataFrame, targets: dict, group: str = "lang") -> DataFram
     group.  Small by construction (one row per distinct group value);
     safe to broadcast."""
     spark = df.sparkSession
+    shares = {g: int(round(s * PPM)) for g, s in targets.items()}
+    zero = [g for g, s in shares.items() if s <= 0]
+    if zero:
+        raise ValueError(
+            f"target shares round to 0 ppm for {zero}; the smallest "
+            f"expressible share is 1/{PPM}"
+        )
     tgt = spark.createDataFrame(
-        [(g, int(round(s * PPM))) for g, s in targets.items()],
-        f"{group} string, share_ppm long",
+        list(shares.items()), f"{group} string, share_ppm long"
     )
     counts = df.groupBy(group).agg(F.count(F.lit(1)).alias("group_count"))
+    # PINNED semantics (matches the DuckDB oracle): a targeted group
+    # ABSENT from the corpus is an unsatisfiable constraint and is
+    # DROPPED from the feasibility min — the output mixes the groups
+    # that exist.  (The strict alternative — absent group ⇒ n_out = 0 ⇒
+    # empty output — helps no pipeline; callers needing strictness can
+    # compare this frame's groups against their targets.)
     j = counts.join(F.broadcast(tgt), group)
     # feasible output size: the binding group is the one with the least
-    # headroom relative to its target share
+    # headroom relative to its target share.  `div` keeps the arithmetic
+    # int64 end-to-end (counts ≤ 10^12 × PPM = 10^18 < 2^63): Column `/`
+    # is DOUBLE with a 53-bit mantissa, whose rounding diverges from the
+    # documented integer formula (and the DuckDB oracle's `//`) for
+    # groups beyond ~9e9 rows
     n_out = j.select(
-        F.min(F.floor(F.col("group_count") * F.lit(PPM) / F.col("share_ppm"))).alias(
-            "n_out"
-        )
+        F.min(
+            F.expr(f"(group_count * {PPM}) div share_ppm")
+        ).alias("n_out")
     )
     return (
         j.crossJoin(F.broadcast(n_out))
         .withColumn(
             "thr_ppm",
-            F.floor(F.col("n_out") * F.col("share_ppm") / F.col("group_count")).cast(
-                "long"
-            ),
+            F.when(F.col("group_count") > 0,
+                   F.expr("(n_out * share_ppm) div group_count"))
+            .otherwise(F.lit(0))
+            .cast("long"),
         )
         .select(group, "group_count", "share_ppm", "thr_ppm")
     )

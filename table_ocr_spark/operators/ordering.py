@@ -62,8 +62,13 @@ def shuffled(
     bottleneck — exactly how a 100-TB training corpus lands on disk."""
     d = df.withColumn("_shuffle_key", shuffle_key_col(key_cols, salt))
     n = num_partitions or d.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return d.repartitionByRange(int(n), "_shuffle_key").sortWithinPartitions(
-        "_shuffle_key"
+    # drop the key after the sort (a projection preserves physical order):
+    # it is derivable from key_cols at will, and writing 32 hex chars per
+    # row into the corpus would be ~32 TB of dead weight at 10^12 rows
+    return (
+        d.repartitionByRange(int(n), "_shuffle_key")
+        .sortWithinPartitions("_shuffle_key")
+        .drop("_shuffle_key")
     )
 
 
@@ -107,4 +112,4 @@ def global_shuffle_index(
             - F.lit(1)
         ).cast("long"),
     )
-    return ranked.drop("_bucket", "_offset")
+    return ranked.drop("_bucket", "_offset", "_shuffle_key")

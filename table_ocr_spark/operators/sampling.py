@@ -42,11 +42,9 @@ def _hash_bucket(key: Column, n_buckets: int, salt: str) -> Column:
     """md5 → leading 60 bits → bucket in [0, n_buckets) — the same
     engine-portable construction as textstats.dataset_split_col (DuckDB:
     ``('0x' || substr(md5(x), 1, 15))::BIGINT % n``)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(_SEP, key.cast("string"), F.lit(salt))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    from table_ocr_spark.operators.textstats import hash60_col
+
+    h = hash60_col(F.concat_ws(_SEP, key.cast("string"), F.lit(salt)))
     return h % n_buckets
 
 

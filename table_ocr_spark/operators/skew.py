@@ -28,15 +28,21 @@ from pyspark.sql import functions as F
 from table_ocr_spark.config import DEFAULT_CONFIG, ExtractorConfig
 
 
-def skewed_conv_ids(df: DataFrame, threshold: int) -> DataFrame:
-    """Heavy-hitter sketch: conv_ids with > threshold turns. Output is small
-    by construction (heavy hitters), safe to broadcast."""
+def _heavy_counts(df: DataFrame, threshold: int) -> DataFrame:
+    """The ONE heavy-hitter sketch definition — (conv_id, n_turns) with
+    n_turns > threshold — shared by the broadcast-join and materialized
+    paths so the two can never drift apart on what 'heavy' means."""
     return (
         df.groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .filter(F.col("n_turns") > threshold)
-        .select("conv_id")
     )
+
+
+def skewed_conv_ids(df: DataFrame, threshold: int) -> DataFrame:
+    """Heavy-hitter sketch: conv_ids with > threshold turns. Output is small
+    by construction (heavy hitters), safe to broadcast."""
+    return _heavy_counts(df, threshold).select("conv_id")
 
 
 def effective_skew_threshold(
@@ -87,13 +93,7 @@ def heavy_conv_ids_materialized(
     (same single sketch job — the count rides the collected rows for free);
     callers use the counts to size the heavy branch's partition share.
     """
-    rows = (
-        df.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .filter(F.col("n_turns") > threshold)
-        .limit(cap + 1)
-        .collect()
-    )
+    rows = _heavy_counts(df, threshold).limit(cap + 1).collect()
     if len(rows) > cap:
         return None
     if with_counts:
@@ -140,8 +140,13 @@ def salted_repartition(
 
     ``worker_budget`` (oversubscribed local mode only —
     ``session.python_worker_budget``): size the union's TWO branches so the
-    whole output has exactly ``worker_budget`` partitions, split
-    PROPORTIONALLY to each branch's row share.  A naive downstream
+    whole output has AT MOST ``worker_budget`` partitions, split
+    PROPORTIONALLY to each branch's row share.  (At most: the light
+    branch is sized with ``coalesce``, which never widens — if the scan
+    produced fewer partitions than the light share, the output falls
+    short of the budget rather than paying the shuffle a ``repartition``
+    would cost; the heavy branch always repartitions, it shuffles
+    anyway.)  A naive downstream
     ``coalesce(budget)`` chunks the union's partitions by index, so the
     light branch's ~94% of bytes lands on half the tasks (measured: salted
     leg 8.1 → 10.8 s); the proportional split keeps every task near

@@ -91,7 +91,13 @@ def lang_id_col(text: str = "text") -> Column:
     )
     best = F.array_max(structs)
     return (
-        F.when(zh > 0, F.lit("zh"))
+        # NULL text first: every guard below evaluates to NULL for it
+        # (regexp_count(NULL), size(intersect(NULL,...))), so without
+        # this branch the when-chain falls through to `best['lang']`,
+        # which tie-breaks the all-NULL counts on priority alone and
+        # silently labels a null row 'en'
+        F.when(F.col(text).isNull(), F.lit(None).cast("string"))
+        .when(zh > 0, F.lit("zh"))
         .when(best["c"] == 0, F.lit("unk"))
         .otherwise(best["lang"])
     )
@@ -170,7 +176,7 @@ def rolling_fingerprint_col(text: str = "text") -> Column:
     word_h = F.transform(
         toks,
         lambda t: F.pmod(
-            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(ROLL_M)
+            hash60_col(t), F.lit(ROLL_M)
         ),
     )
     return F.aggregate(
@@ -178,6 +184,15 @@ def rolling_fingerprint_col(text: str = "text") -> Column:
         F.lit(0).cast("long"),
         lambda acc, w: F.pmod(acc * ROLL_B + w, F.lit(ROLL_M)),
     )
+
+
+def hash60_col(col: Column) -> Column:
+    """md5 -> first 15 hex chars -> int64 (60 bits): the ONE pinned
+    cross-engine hash behind dedup, sampling, mixture and split
+    assignment — DuckDB oracle form ('0x' || substr(md5(x), 1, 15))::
+    BIGINT.  Every consumer must call THIS helper: five drifting copies
+    of a pinned hash spec is how engines fall out of agreement."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def fingerprint_col(text: str = "text") -> Column:
@@ -319,7 +334,7 @@ def pack_sequences(
     one slot (downstream chunking splits them).  Deterministic ⇒ the
     DuckDB oracle reproduces it bit-for-bit with the same window spec."""
     bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+        hash60_col(F.col(key).cast("string")).cast(
             "long"
         ),
         F.lit(n_buckets),
@@ -355,12 +370,15 @@ def dataset_split_col(
     row's split never depends on what other rows are present), and
     (3) leak-resistant when keyed on a CONTENT fingerprint: exact
     duplicates land in the same split by construction, so a test document
-    can't leak into train via its copy.  ``cuts`` are bucket thresholds
-    out of ``n_buckets`` (default 90/5/5)."""
-    h = (
-        F.conv(F.substring(F.md5(F.col(key) if isinstance(key, str) else key), 1, 15), 16, 10)
-        .cast("long")
-        % n_buckets
-    )
-    out = F.when(h < cuts[0], names[0]).when(h < cuts[1], names[1]).otherwise(names[2])
-    return out
+    can't leak into train via its copy.  ``cuts`` are ascending bucket
+    thresholds out of ``n_buckets`` (default 90/5/5); any N-way split
+    works with len(names) == len(cuts) + 1."""
+    if len(names) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(names) == len(cuts) + 1, got {len(names)} names / {len(cuts)} cuts"
+        )
+    h = hash60_col(F.col(key) if isinstance(key, str) else key) % n_buckets
+    out = F.when(h < cuts[0], names[0])
+    for c, nm in zip(cuts[1:], names[1:-1]):
+        out = out.when(h < c, nm)
+    return out.otherwise(names[-1])

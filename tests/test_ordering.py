@@ -64,9 +64,15 @@ def test_ranking_window_is_bucket_partitioned(spark):
 
 
 def test_shuffled_is_range_ordered_across_partitions(spark):
+    from table_ocr_spark.operators.ordering import shuffle_key_col
+
     out = shuffled(_df(spark), ["doc_id"], salt="v1", num_partitions=6)
+    # the internal key is dropped from the output schema — recompute it
+    # (a projection preserves the physical row order being asserted)
+    assert "_shuffle_key" not in out.columns
     rows = out.select(
-        F.spark_partition_id().alias("pid"), "_shuffle_key"
+        F.spark_partition_id().alias("pid"),
+        shuffle_key_col(["doc_id"], "v1").alias("_shuffle_key"),
     ).collect()
     by_pid = {}
     for r in rows:
