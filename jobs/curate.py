@@ -728,7 +728,18 @@ def main(argv=None) -> int:
         from table_ocr_spark.sources.snapshots import SnapshotTable
 
         table = out_table or SnapshotTable(os.path.join(args.output, "table"))
-        seq = table.append(curated, summary_fn=_metrics)
+        if args.incremental:
+            # incremental runs commit only the new increment's rows —
+            # append is the correct semantics (and read_changes already
+            # made the job a no-op when there is no new input)
+            seq = table.append(curated, summary_fn=_metrics)
+        else:
+            # a full (non-incremental) run recomputes the WHOLE corpus:
+            # commit via overwrite so rerunning the identical command is
+            # idempotent at HEAD (ADVICE r5 — append silently doubled the
+            # live table on an operator retry).  Every prior run stays
+            # addressable through time travel; nothing is lost.
+            seq = table.overwrite(curated, summary_fn=_metrics)
         summary = dict(table.manifest(seq)["summary"])
         summary["snapshot_seq"] = seq
         if args.incremental and args.near_dedup:

@@ -330,9 +330,12 @@ def minhash_lsh_star_pairs(
     to meet in.  All-pairs (``minhash_lsh_pairs``) remains the exact
     small-scale path.
 
-    Output: (key_a, key_b) distinct with key_a < key_b (key_a is the
-    bucket pivot; column contract identical to ``minhash_lsh_pairs``, so
-    verify/CC/representative stages compose unchanged)."""
+    Output: (key_a, key_b) distinct with key_a < key_b (normalized with
+    least/greatest — under a non-empty ``pivot_salt`` the salted-argmin
+    pivot is not the key min, so the raw edge can come out reversed;
+    column contract identical to ``minhash_lsh_pairs``, so verify/CC/
+    representative stages and any ordering-sensitive oracle compose
+    unchanged)."""
     banded = _lsh_banded(df, text, key, k, bands, shingle_n)
     if max_bucket_size is not None:
         oversized = (
@@ -360,7 +363,10 @@ def minhash_lsh_star_pairs(
     return (
         banded.withColumn("_pivot", pivot)
         .filter(F.col("k") != F.col("_pivot"))
-        .select(F.col("_pivot").alias("key_a"), F.col("k").alias("key_b"))
+        .select(
+            F.least("_pivot", "k").alias("key_a"),
+            F.greatest("_pivot", "k").alias("key_b"),
+        )
         .distinct()
     )
 

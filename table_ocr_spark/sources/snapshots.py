@@ -79,6 +79,38 @@ class CommitConflict(RuntimeError):
     """Another writer committed onto the same parent snapshot first."""
 
 
+def _merge_stream_watermarks(base: dict, ours: dict) -> dict:
+    """Combine the exactly-once streaming watermark keys from the BASE
+    manifest summary and the caller's summary via per-stream max.
+
+    Replace-not-merge was a race: a streaming sink computes its
+    ``stream_epochs`` dict from a pre-commit read, so when its append
+    loses the link race to a concurrent stream and rebases, the caller's
+    (stale) dict would erase the winner's just-committed epoch — a later
+    crash-replay of that stream then passes the ``last_stream_epoch``
+    check and double-commits.  Taking the per-stream max of both sides
+    is safe in every case: epochs only move forward within a stream.
+    """
+    out: dict = {}
+    b_per = base.get("stream_epochs")
+    o_per = ours.get("stream_epochs")
+    b_per = b_per if isinstance(b_per, dict) else {}
+    o_per = o_per if isinstance(o_per, dict) else {}
+    if b_per or o_per:
+        per = {k: int(v) for k, v in b_per.items()}
+        for k, v in o_per.items():
+            per[k] = max(int(v), per.get(k, -1))
+        out["stream_epochs"] = per
+    vals = [
+        int(v)
+        for v in (base.get("stream_max_epoch"), ours.get("stream_max_epoch"))
+        if v is not None
+    ]
+    if vals:
+        out["stream_max_epoch"] = max(vals)
+    return out
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to root
@@ -390,17 +422,21 @@ class SnapshotTable:
                     )
             # the exactly-once streaming watermark rides every commit —
             # a plain append must not erase it, or expire() + a replayed
-            # micro-batch double-commits
-            carried = {
-                k: v
-                for k, v in base_m.get("summary", {}).items()
-                if k in ("stream_max_epoch", "stream_epochs") and k not in (summary or {})
-            }
+            # micro-batch double-commits.  MERGED per stream (not
+            # caller-wins): a streaming sink's summary carries a
+            # stream_epochs dict computed from a PRE-RACE read, so on a
+            # rebase the base manifest may hold a concurrent stream's
+            # newer epoch — replacing would erase it and degrade that
+            # stream's exactly-once to at-least-once.  Re-read and
+            # combine via per-stream max on every retry iteration.
+            merged_wm = _merge_stream_watermarks(
+                base_m.get("summary", {}) or {}, summary or {}
+            )
             try:
                 return self.commit(
                     [FileEntry.from_json(d) for d in base] + new_files,
                     "append",
-                    summary={**carried, **(summary or {})},
+                    summary={**(summary or {}), **merged_wm},
                     schema_json=commit_schema,
                     expected_parent=cur,
                 )
@@ -408,24 +444,30 @@ class SnapshotTable:
                 continue  # someone else landed; rebase on their manifest
         raise CommitConflict(f"append lost {max_retries} commit races at {self.root}")
 
-    def overwrite(self, df: DataFrame, summary: Optional[dict] = None) -> int:
+    def overwrite(
+        self, df: DataFrame, summary: Optional[dict] = None, summary_fn=None
+    ) -> int:
         """Replace the table's live set with ``df`` (no retry: an overwrite
-        that raced must re-validate against the new state by design)."""
+        that raced must re-validate against the new state by design).
+
+        ``summary_fn``: as in :meth:`append` — called once AFTER the data
+        files are staged so ``observe()`` metrics from the write pass can
+        land inside the commit manifest."""
         new_files, schema_json = self._stage_df(df)
+        if summary_fn is not None:
+            summary = {**(summary or {}), **summary_fn()}
         cur = self.current_seq()
         # the exactly-once streaming watermark survives every commit kind —
         # an overwrite that erased it would let an expire + replayed
-        # micro-batch double-commit (every other operation carries it too)
-        carried = {}
-        if cur is not None:
-            carried = {
-                k: v
-                for k, v in (self.manifest(cur).get("summary", {}) or {}).items()
-                if k in ("stream_max_epoch", "stream_epochs")
-            }
+        # micro-batch double-commit (every other operation carries it
+        # too); per-stream-max merged, same as append's rebase path
+        base_summary = (
+            (self.manifest(cur).get("summary", {}) or {}) if cur is not None else {}
+        )
+        merged_wm = _merge_stream_watermarks(base_summary, summary or {})
         return self.commit(
             new_files, "overwrite",
-            summary={**carried, **(summary or {})},
+            summary={**(summary or {}), **merged_wm},
             schema_json=schema_json,
             expected_parent=cur,
         )
@@ -438,15 +480,13 @@ class SnapshotTable:
         # carry the CURRENT epoch watermark (not the rollback target's):
         # the stream already committed those epochs — rolling the data
         # back must not open the door to replaying them twice
-        carried = {
-            k: v
-            for k, v in (self.manifest(cur).get("summary", {}) or {}).items()
-            if k in ("stream_max_epoch", "stream_epochs")
-        }
+        merged_wm = _merge_stream_watermarks(
+            self.manifest(cur).get("summary", {}) or {}, summary or {}
+        )
         return self.commit(
             [FileEntry.from_json(d) for d in old["files"]],
             "rollback",
-            summary={**carried, **(summary or {}), "rolled_back_to": seq},
+            summary={**(summary or {}), **merged_wm, "rolled_back_to": seq},
             schema_json=old.get("schema"),
             expected_parent=cur,
         )
@@ -609,17 +649,13 @@ class SnapshotTable:
         # carry the streaming-sink epoch watermark forward: without this,
         # compact + expire could erase the exactly-once marker the sink's
         # replay check depends on (streaming/snapshot_sink.py)
-        carried = {
-            k: v
-            for k, v in m.get("summary", {}).items()
-            if k in ("stream_max_epoch", "stream_epochs")
-        }
+        merged_wm = _merge_stream_watermarks(m.get("summary", {}) or {}, summary or {})
         return self.commit(
             new_files,
             "compact",
             summary={
-                **carried,
                 **(summary or {}),
+                **merged_wm,
                 "files_before": len(files),
                 "files_after": len(new_files),
                 "bytes": total,
@@ -662,13 +698,13 @@ class SnapshotTable:
                 raise ValueError(f"column {name!r} already exists")
         for name, typ in cols:
             schema = schema.add(name, typ, True)
-        carried = {k: v for k, v in m.get("summary", {}).items() if k in ("stream_max_epoch", "stream_epochs")}
+        merged_wm = _merge_stream_watermarks(m.get("summary", {}) or {}, summary or {})
         return self.commit(
             [FileEntry.from_json(d) for d in m["files"]],
             "evolve",
             summary={
-                **carried,
                 **(summary or {}),
+                **merged_wm,
                 "added_columns": [list(c) for c in cols],
             },
             schema_json=schema.json(),
@@ -799,13 +835,13 @@ class SnapshotTable:
         if new_rows is not None:
             new_files, schema_json = self._stage_df(new_rows)
         src.unpersist()
-        carried = {k: v for k, v in m.get("summary", {}).items() if k in ("stream_max_epoch", "stream_epochs")}
+        merged_wm = _merge_stream_watermarks(m.get("summary", {}) or {}, summary or {})
         return self.commit(
             untouched + new_files,
             "merge",
             summary={
-                **carried,
                 **(summary or {}),
+                **merged_wm,
                 "when_matched": when_matched,
                 "source_rows": int(agg["n"]),
                 "inserted_or_updated": inserted,
@@ -907,13 +943,13 @@ class SnapshotTable:
                 | ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
             )
             new_files, schema_json = self._stage_df(remain)
-        carried = {k: v for k, v in m.get("summary", {}).items() if k in ("stream_max_epoch", "stream_epochs")}
+        merged_wm = _merge_stream_watermarks(m.get("summary", {}) or {}, summary or {})
         return self.commit(
             disjoint + new_files,
             "delete",
             summary={
-                **carried,
                 **(summary or {}),
+                **merged_wm,
                 "predicate": {"col": col, "lo": lo_s, "hi": hi_s},
                 "files_untouched": len(disjoint),
                 "files_dropped_metadata_only": len(covered),

@@ -154,9 +154,10 @@ def test_curate_decontaminates_eval_overlap(spark, tmp_path_factory, monkeypatch
 
 def test_curate_snapshot_mode_commits_atomic_history(spark, tmp_path, monkeypatch):
     """--snapshot: each curation run lands as one addressable commit in the
-    snapshot log, metrics inside the manifest; reruns accumulate history
-    instead of overwriting, and the strict run is time-travel-comparable
-    against the lax one."""
+    snapshot log, metrics inside the manifest.  A full (non-incremental)
+    run commits via OVERWRITE (ADVICE r5): rerunning the identical command
+    is idempotent at HEAD — an operator retry never doubles the corpus —
+    while every prior run stays addressable through time travel."""
     from table_ocr_spark import session as session_mod
     from table_ocr_spark import synth
     from table_ocr_spark.sources.catalog import write_transcripts_parquet
@@ -180,19 +181,31 @@ def test_curate_snapshot_mode_commits_atomic_history(spark, tmp_path, monkeypatc
     t = SnapshotTable(str(tmp_path / "out" / "table"))
     h = t.history()
     assert [e["seq"] for e in h] == [1, 2]
+    assert all(e["operation"] == "overwrite" for e in h)
     # metrics landed inside each commit manifest (not just the sidecar)
     assert h[0]["summary"]["min_quality"] == 0.0
     assert h[1]["summary"]["min_quality"] == 0.45
-    # snapshot 1 alone == the lax run; current == lax + strict appended
+    # HEAD == the strict run alone (full runs replace, never stack);
+    # snapshot 1 (the lax run) stays addressable via time travel
     run1 = t.read(spark, seq=1)
     assert run1.count() == h[0]["summary"]["rows_out"] > 0
-    assert t.read(spark).count() == h[0]["summary"]["rows_out"] + h[1]["summary"]["rows_out"]
+    strict_df = t.read(spark)
+    assert strict_df.count() == h[1]["summary"]["rows_out"]
     # the strict run's rows form a subset of the lax run's keys
     lax = {(r.conv_id, r.turn_idx) for r in run1.select("conv_id", "turn_idx").collect()}
-    strict_df = t.read(spark).exceptAll(run1)
     strict = {(r.conv_id, r.turn_idx) for r in strict_df.select("conv_id", "turn_idx").collect()}
     assert strict <= lax and len(strict) == h[1]["summary"]["rows_out"]
     assert strict_df.filter(F.col("quality") < 0.45).count() == 0
+
+    # rerunning the IDENTICAL command is idempotent at HEAD: same rows,
+    # one more addressable snapshot in the history
+    rc = C.main(["--input", str(tmp_path / "in"), "--output", out,
+                 "--min-quality", "0.45", "--snapshot"])
+    assert rc == 0
+    assert t.current_seq() == 3
+    rerun = {(r.conv_id, r.turn_idx)
+             for r in t.read(spark).select("conv_id", "turn_idx").collect()}
+    assert rerun == strict
 
 
 def test_curate_quota_and_sample(spark, tmp_path, monkeypatch):

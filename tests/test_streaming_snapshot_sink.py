@@ -110,3 +110,45 @@ def test_fresh_checkpoint_stream_not_skipped_as_replay(spark, tmp_path):
     assert t.read(spark).count() == 4
     assert last_stream_epoch(t, "ckpt-A") == 1
     assert last_stream_epoch(t, "ckpt-B") == 1
+
+
+def test_stale_stream_epochs_summary_merges_not_replaces(spark, tmp_path):
+    """ADVICE r5 (snapshots.py append): a commit whose summary carries a
+    stream_epochs dict computed from a PRE-RACE read must not erase a
+    concurrent stream's newer epoch — the table merges per-stream max
+    instead of caller-wins.  Without the merge, stream A's watermark
+    drops back to absent and a crash-replay of A's batch double-commits."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+
+    a = snapshot_batch_writer(root, stream_id="ckpt-A")
+    a(df, 5)
+    t = SnapshotTable(root)
+    assert last_stream_epoch(t, "ckpt-A") == 5
+
+    # stream B appends with a summary built BEFORE A's commit landed:
+    # its stream_epochs dict has only B's entry.  The commit must merge
+    # A's {ckpt-A: 5} from the base manifest, not replace it.
+    t.append(
+        df,
+        summary={
+            "stream_epoch": 3,
+            "stream_max_epoch": 3,
+            "stream_epochs": {"ckpt-B": 3},
+        },
+    )
+    assert last_stream_epoch(t, "ckpt-A") == 5  # survived B's stale dict
+    assert last_stream_epoch(t, "ckpt-B") == 3
+    assert last_stream_epoch(t) == 5  # global max merged too
+
+    # A's crash-replay of epoch 5 must still skip (exactly-once held)
+    n = t.read(spark).count()
+    a(df, 5)
+    assert t.read(spark).count() == n
+
+    # and the merge holds through every other commit kind that carries
+    # the watermark (overwrite shown; compact/evolve/merge/delete share
+    # the same helper)
+    t.overwrite(df, summary={"stream_epochs": {"ckpt-C": 1}})
+    assert last_stream_epoch(t, "ckpt-A") == 5
+    assert last_stream_epoch(t, "ckpt-C") == 1
