@@ -1736,18 +1736,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return with_extraction(t.select("conv_id", "turn_idx", "text"))
 
 
+def _gate_history() -> dict[str, int]:
+    """query name -> the LAST round it appeared in a driver correctness
+    gate, recovered from the committed ``CORRECTNESS_r*.json`` files
+    themselves (each file's keys ARE that round's gated head window).
+    Queries never gated map to -1.  Unreadable/absent files are skipped —
+    worst case the rotation degrades to canonical order, never errors."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k in data:
+            last[k] = max(rnd, last.get(k, -1))
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Contract queries, GATE-ORDER-AWARE: the driver's correctness gate
-    records at most 50 rows in dict insertion order, so the head-50 window
-    ROTATES each round (VERDICT r4 #1): round 5 promotes every entry that
-    lacked a driver-gated row in CORRECTNESS_r04 — the whole r4 tail (22,
-    incl. the never-gated cells_html / dataset_split / HLL / q17 / q19 /
-    q21 / RANGE-window / CUBE) plus this round's new queries — and demotes
-    the long-stable 3-4-green-round head entries (extract_* kernel
-    variants, q1-era aggregates, text-stats family) to the tail.  Every
-    tail entry stays fully oracle-backed (run ``tools/check_contract.py``),
-    has green rows in earlier CORRECTNESS_r{N} files, and is re-swept each
-    round by ``tools/contract_sweep.py`` → BENCH/CONTRACT_SWEEP.md."""
+    """Contract queries with STRUCTURAL gate rotation (VERDICT r5 #1).
+
+    The driver's correctness gate records at most 50 rows in dict
+    insertion order; rounds 4-5 rotated the head window by hand, which
+    re-opens the same hole every round someone forgets to swap.  The
+    order is now DERIVED: queries are sorted stalest-first by the last
+    round each appeared in a committed ``CORRECTNESS_r*.json`` (never
+    gated → first; ties break on canonical declaration order), so every
+    query earns a hard driver row at least every other round by
+    construction — new queries gate immediately, and the freshly-gated
+    head self-demotes next round.  Every displaced tail entry stays
+    fully oracle-backed (``tools/check_contract.py``) and is re-swept
+    each round by ``tools/contract_sweep.py`` → BENCH/CONTRACT_SWEEP.md."""
+    canonical = _canonical_queries()
+    last = _gate_history()
+    idx = {name: i for i, name in enumerate(canonical)}
+    order = sorted(canonical, key=lambda q: (last.get(q, -1), idx[q]))
+    return {q: canonical[q] for q in order}
+
+
+def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full contract-query registry in canonical (thematic) order —
+    the rotation tie-break.  Insertion order here does NOT decide what
+    gets gated; ``queries()`` reorders stalest-first."""
     return {
         # ---- relational fringe (16): never/once-gated joins, set ops,
         # grouping sets, percentiles exact + sketch ----
@@ -1808,15 +1850,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_moving_avg": q_events_range_moving_avg,        # RANGE frame
         "events_distinct_users_approx": q_events_distinct_users_approx,  # HLL hard gate
         "events_asof_join": q_events_asof_join,
-        # ---- the gate window (entries 1-50) ENDS HERE, at
-        # events_asof_join — run tools/check_contract.py after any
-        # insertion/demotion to re-verify the boundary ----
-        # ======= tail: 2-4x-green stable entries (demoted r5) =======
+        # ---- relational core (gating now decided by _gate_history(),
+        # not position — this grouping is only the tie-break) ----
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
         "q18_large_orders": q_q18_large_orders,
-        # every tail entry is exact-oracled and re-swept each round by
-        # tools/contract_sweep.py -> BENCH/CONTRACT_SWEEP.md (committed)
         "q6_revenue_delta": q_q6_revenue_delta,
         "order_priority_counts": q_order_priority_counts,
         "segment_revenue": q_segment_revenue,
@@ -1842,7 +1880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_boilerplate_strip_hashed": q_conv_boilerplate_strip_hashed,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
-        # demoted r5: 3-4x driver-green head entries, now sweep-covered
         "q22_idle_customers": q_q22_idle_customers,
         "event_value_percentiles": q_event_value_percentiles,
         "q13_customer_distribution": q_q13_customer_distribution,

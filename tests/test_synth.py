@@ -115,3 +115,40 @@ def test_extract_cli_reads_jsonl(spark, tmp_path, monkeypatch, capsys):
     n_in = spark.read.json(str(tmp_path / "in")).count()
     n_out = spark.read.parquet(str(tmp_path / "out") + "/data/*/*").count()
     assert n_out == n_in
+
+
+def test_gate_rotation_is_structural():
+    """VERDICT r5 #1: the driver gates the head-50 of queries() in dict
+    order, so the order must be DERIVED from the committed gate history —
+    every query absent from the latest CORRECTNESS file's gate must sort
+    into the next head-50, and never-gated (new) queries must lead."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    canonical = list(e._canonical_queries())
+    assert sorted(names) == sorted(canonical)  # rotation never drops/adds
+
+    files = sorted(
+        glob.glob(os.path.join(os.path.dirname(e.__file__), "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not files:  # fresh checkout: canonical order is the safe fallback
+        assert names == canonical
+        return
+    latest_gate = set(json.load(open(files[-1])))
+    stale = [q for q in names if q not in latest_gate]
+    head = set(names[:50])
+    # every stale query fits in the head window this round (87 total,
+    # <=50 gated per round => at most 50 stale; all must rotate in)
+    assert all(q in head for q in stale[:50])
+    # and gate history never forgets: each query's last-gated round is
+    # the max over all files, so a query green in r3 but absent since
+    # still outranks one gated in r5
+    last = e._gate_history()
+    for q in latest_gate:
+        assert last.get(q, -1) >= int(re.search(r"r(\d+)", files[-1]).group(1))
