@@ -1944,23 +1944,28 @@ def _sql_lang_id() -> str:
 
 
 def _sql_minhash_sig_list() -> str:
-    """list_value(sig_0, …, sig_7): 8-permutation MinHash over distinct
-    word 2-gram shingles — ONE 32-bit md5 base hash per shingle, then the
-    same affine permutations (a_j·h + b_j) mod p as
-    dedup.minhash_signature_col (constants imported, never re-derived)."""
-    from table_ocr_spark.operators.dedup import MH_PRIME, mh_params
+    """list_value(sig_0, …, sig_7): 8-permutation MinHash over word
+    2-gram shingle hashes — ONE 32-bit md5 base hash per TOKEN, each
+    2-gram combined polynomially (th[i]·B + th[i+1]) mod p with no
+    shingle string built, then the same affine permutations
+    (a_j·h + b_j) mod p as dedup.minhash_signature_col / shingle_hashes_col
+    (constants imported, never re-derived)."""
+    from table_ocr_spark.operators.dedup import MH_PRIME, SHINGLE_B, mh_params
 
-    shingles = (
-        f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS_L}) - 1, 0) + 1), "
-        f"i -> {_SQL_TOKS_L}[i] || ' ' || {_SQL_TOKS_L}[i+1]))"
+    tok_hashes = (
+        f"list_transform({_SQL_TOKS_L}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    )
+    shingle_hashes = (
+        "list_transform(range(1, greatest(len(th) - 1, 0) + 1), "
+        f"i -> (th[i] * {SHINGLE_B} + th[i+1]) % {MH_PRIME})"
     )
     mins = ", ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MH_PRIME}))"
         for a, b in mh_params(8)
     )
     return (
-        f"(SELECT list_value({mins}) FROM (SELECT list_transform({shingles}, "
-        "s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs) _s)"
+        f"(SELECT list_value({mins}) FROM (SELECT {shingle_hashes} AS hs "
+        f"FROM (SELECT {tok_hashes} AS th) _th) _s)"
     )
 
 

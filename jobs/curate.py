@@ -316,17 +316,23 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
     index can lag (briefly missing candidates) but never lies."""
     from pyspark.sql import functions as F
 
-    from table_ocr_spark.operators.dedup import lsh_banded
+    from table_ocr_spark.operators.dedup import LSH_ALGO, lsh_banded
 
     cur = out_table.current_seq()
     if cur is None:
         return
     covered = 0
+    algo_ok = True
     for h in reversed(index_table.history()):
         if "data_seq" in h["summary"]:
             covered = int(h["summary"]["data_seq"])
+            # an index banded under a different hash family never
+            # collides with freshly-banded buckets — candidates silently
+            # vanish; a tag mismatch (or a legacy untagged index) must
+            # force a full rebuild, not an incremental catch-up
+            algo_ok = h["summary"].get("lsh_algo") == LSH_ALGO
             break
-    if covered >= cur:
+    if algo_ok and covered >= cur:
         return
 
     def _band(rows):
@@ -337,6 +343,13 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
         return lsh_banded(
             with_k, text="text", key="_k", k=k, bands=bands, shingle_n=shingle_n
         )
+
+    if not algo_ok:
+        index_table.overwrite(
+            _band(out_table.read(spark)),
+            summary={"data_seq": cur, "lsh_algo": LSH_ALGO},
+        )
+        return
 
     try:
         rows = out_table.read_changes(spark, after_seq=covered, until_seq=cur)
@@ -354,7 +367,7 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
         if index_table.current_seq() is None:
             # first-time index bootstrap against a table whose history
             # already contains non-append commits: band the live set
-            index_table.append(_band(out_table.read(spark)), summary={"data_seq": cur})
+            index_table.append(_band(out_table.read(spark)), summary={"data_seq": cur, "lsh_algo": LSH_ALGO})
             return
         if ops <= {"append", "compact"}:
             # compaction rewrites file LAYOUT but preserves every row, so
@@ -369,16 +382,16 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
             unindexed = live.join(
                 index_table.read(spark).select("_k").distinct(), "_k", "left_anti"
             )
-            index_table.append(_band(unindexed), summary={"data_seq": cur})
+            index_table.append(_band(unindexed), summary={"data_seq": cur, "lsh_algo": LSH_ALGO})
             return
         # a row-REMOVING commit (forget-merge, rollback) sits between the
         # covered seq and HEAD — rebuild the index from the live table:
         # one banding pass over the surviving corpus (no text
         # re-extraction), committed as an overwrite so forgotten rows'
         # derived bands drop out of the live index too
-        index_table.overwrite(_band(out_table.read(spark)), summary={"data_seq": cur})
+        index_table.overwrite(_band(out_table.read(spark)), summary={"data_seq": cur, "lsh_algo": LSH_ALGO})
         return
-    index_table.append(_band(rows), summary={"data_seq": cur})
+    index_table.append(_band(rows), summary={"data_seq": cur, "lsh_algo": LSH_ALGO})
 
 
 def main(argv=None) -> int:

@@ -3,15 +3,20 @@
 Four tiers, all Spark built-in expressions (JVM-side; no Python UDFs):
 
 * **exact**: hash-groupBy on the content fingerprint.
-* **MinHash + LSH**: word-shingle → ONE 32-bit md5 base hash per shingle
-  → K affine permutations ``(a_j·h + b_j) mod p`` (universal hashing,
-  p = largest prime < 2^32) → bands → bucket self-join.  One md5 per
-  shingle instead of K salted md5s: measured ~5× less signature CPU at
-  sf0.1 (the md5 + per-salt string concat was the stage's whole cost).
-  a_j < 2^30 keeps every product below 2^62 — no int64 overflow, so
-  DuckDB (which RAISES on BIGINT overflow, it does not wrap) computes
-  the identical value and correctness oracles stay EXACT, not
-  statistical.
+* **MinHash + LSH**: per-TOKEN 32-bit md5 base hash → polynomial window
+  combination ``fold((acc·B + h_i) mod p)`` per n-gram (no shingle string
+  is ever materialized) → K affine permutations ``(a_j·h + b_j) mod p``
+  (universal hashing, p = largest prime < 2^32) → bands → bucket
+  self-join.  Two generations of the same bandwidth fight: r4 moved from
+  K salted md5s per shingle to ONE md5 per shingle (~5× less signature
+  CPU at sf0.1); r6 removed the shingle strings themselves — the
+  ``array_join(slice(...))`` string build plus md5 over the joined
+  n-gram was the stage's remaining floor (BENCH/MINHASH_SCALING.md), and
+  hashing each token once then combining hashes arithmetically measured
+  2.0× faster at local[16] on the ×16 corpus.  B < 2^21 and a_j < 2^30
+  keep every product below 2^62 — no int64 overflow, so DuckDB (which
+  RAISES on BIGINT overflow, it does not wrap) computes the identical
+  value and correctness oracles stay EXACT, not statistical.
 * **SimHash**: B-bit signature from per-token md5 bit votes; near-dups =
   small Hamming distance.
 * **n-gram Jaccard**: exact set similarity for candidate verification.
@@ -58,11 +63,15 @@ def dedup_exact(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
 
 # ----------------------------------------------------------- shingles -----
 def word_shingles_col(text: str = "text", n: int = 2) -> Column:
-    """Distinct word n-gram shingles.  Distinct (not sorted): duplicates
-    would only repeat md5 work, and every consumer (min over permuted
-    hashes) is order-insensitive, so a sort would be pure overhead —
-    higher-order array functions run interpreted, not codegen'd, and
-    sorting ~150 strings per doc was measurable at sf0.1.
+    """Distinct word n-gram shingles AS STRINGS.  The MinHash path no
+    longer uses these (``shingle_hashes_col`` combines per-token hashes
+    without materializing the n-gram); this remains the shingle source
+    where the actual string set matters — n-gram Jaccard and
+    decontamination (operators/decontam.py).  Distinct (not sorted):
+    duplicates would only repeat downstream hash work, and consumers are
+    set-based, so a sort would be pure overhead — higher-order array
+    functions run interpreted, not codegen'd, and sorting ~150 strings
+    per doc was measurable at sf0.1.
 
     The token array is LET-BOUND via a one-element transform() before the
     window loop: interpreted lambda evaluation re-executes a plain
@@ -101,6 +110,65 @@ def _hash32(col: Column) -> Column:
 
 MH_PRIME = 4294967291  # largest prime < 2^32 — the permutation modulus
 
+# Polynomial shingle combiner: an n-gram's hash is the fold of its token
+# hashes, acc = (acc·B + h_i) mod p.  B prime and < 2^21 so acc·B < 2^53
+# with acc < p < 2^32 — exact int64 arithmetic in every engine.
+SHINGLE_B = 1000003
+
+# Version tag of the (token hash, combiner, permutation) triple.  Persisted
+# LSH band indexes stamp this into their commit summaries; a mismatch at
+# sync time forces a rebuild instead of silently never colliding with the
+# new buckets (jobs/curate.py _sync_lsh_index).
+LSH_ALGO = "mh-tokenpoly-1"
+
+
+def shingle_hashes_col(text: str = "text", n: int = 2) -> Column:
+    """Word n-gram shingle HASHES with no shingle string ever built:
+    hash each token once (32-bit md5), then combine each window of n
+    token hashes polynomially, ``fold((acc·B + h_i) mod p)``.
+
+    This replaced ``_hash32(word_shingles_col(...))`` as the MinHash
+    base-hash source: profiling (BENCH/MINHASH_SCALING.md) showed the
+    signature stage's floor was materializing every n-gram via
+    ``array_join(slice(tokens, i, n))`` and md5-ing the joined string —
+    per-token md5 plus integer window combination measured 2.0× faster
+    at local[16] (and the win grows with n, which no longer multiplies
+    hashed bytes).  Values differ from the string form, but every
+    consumer treats shingle hashes as an opaque set and the SQL oracle
+    computes the identical combination (``_sql_minhash_sig_list``).
+
+    No distinct pass: duplicate windows repeat only the cheap combine
+    (never an md5), and every consumer is a min over permuted hashes,
+    which duplicates cannot change.  Both the token-hash array and the
+    outer tokens array are LET-BOUND via the one-element ``transform()``
+    trick (see ``word_shingles_col``) — interpreted lambdas re-execute a
+    plain subtree per reference, so an unbound ``th`` would re-hash every
+    token once per window.  Docs with fewer than n tokens short-circuit
+    to an empty array (``sequence(1, 0)`` DESCENDS; it must never run)."""
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    if n == 1:
+        return F.transform(toks, _hash32)
+
+    def _combine(th: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(th) - (n - 1))
+
+        def window_hash(i: Column) -> Column:
+            acc = F.element_at(th, i)
+            for j in range(1, n):
+                acc = (acc * F.lit(SHINGLE_B) + F.element_at(th, i + j)) % F.lit(
+                    MH_PRIME
+                )
+            return acc
+
+        return F.when(F.size(th) < n, F.array().cast("array<long>")).otherwise(
+            F.transform(idx, window_hash)
+        )
+
+    def _hashed(tk: Column) -> Column:
+        return F.element_at(F.transform(F.array(F.transform(tk, _hash32)), _combine), 1)
+
+    return F.element_at(F.transform(F.array(toks), _hashed), 1)
+
 
 def mh_params(k: int) -> list:
     """Deterministic affine-permutation constants (a_j, b_j) for the K
@@ -120,19 +188,18 @@ def mh_params(k: int) -> list:
 
 
 def minhash_signature_col(text: str = "text", k: int = 8, shingle_n: int = 2) -> Column:
-    """K-permutation MinHash: one 32-bit md5 base hash per distinct
-    shingle, then K affine permutations ``(a_j·h + b_j) mod p`` (universal
-    hashing) — exactly reproducible in SQL, and ~K× cheaper than salted
-    per-permutation md5 (one digest per shingle instead of K, and zero
-    per-permutation string concats).
+    """K-permutation MinHash: polynomial shingle hashes from per-token
+    md5s (``shingle_hashes_col`` — no n-gram string materialized), then K
+    affine permutations ``(a_j·h + b_j) mod p`` (universal hashing) —
+    exactly reproducible in SQL.
 
     Shaped as ONE nested higher-order function — transform over the
     params array with the hashed-shingle array bound once in the outer
-    scope — so the (expensive) md5-over-shingles subtree appears once in
+    scope — so the (expensive) md5-over-tokens subtree appears once in
     the plan instead of k times.  NB: transform lambdas must be
     single-parameter; a second parameter receives the ARRAY INDEX,
     silently corrupting a closed-over binding."""
-    hs = F.transform(word_shingles_col(text, shingle_n), _hash32)
+    hs = shingle_hashes_col(text, shingle_n)
     params = F.array(
         *[
             F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
@@ -161,19 +228,23 @@ def minhash_signatures(
     test-asserted): higher-order array lambdas run interpreted, so the
     k per-element passes of the Column form cost ~0.5 µs per element-pass
     (measured: 8 passes over ~150-shingle docs = 3.5 s of the 4 s stage at
-    sf0.1).  Exploding the shingle array instead makes the per-shingle
-    md5 + k affine permutations PLAIN column expressions — whole-stage
-    codegen — and the ``groupBy(key)`` min aggregates map-side (explode
-    preserves row locality, so partial aggregation collapses each doc to
-    one k-long row before the exchange): shuffle = one row per doc, not
-    one per shingle.  Duplicate shingles need no distinct pass — they
-    cannot change a min.
+    sf0.1).  Exploding the shingle-HASH array instead makes the k affine
+    permutations PLAIN column expressions — whole-stage codegen — and the
+    ``groupBy(key)`` min aggregates map-side (explode preserves row
+    locality, so partial aggregation collapses each doc to one k-long row
+    before the exchange): shuffle = one row per doc, not one per shingle.
+    The only interpreted work left is ``shingle_hashes_col``'s two array
+    passes (md5 per token, integer combine per window) — the former
+    shingle-string explode still paid an interpreted string-building pass
+    PLUS codegen md5 over every joined n-gram, measured 2.0× slower at
+    local[16] (BENCH/MINHASH_SCALING.md).  Duplicate shingles need no
+    distinct pass — they cannot change a min.
 
     Docs with no shingles (fewer than ``shingle_n`` tokens, or NULL text)
     explode to zero rows and drop out — exactly the pre-banding filter the
     LSH path needs (a NULL signature would otherwise collapse every short
     doc into one hot bucket; mirrored in the SQL oracle)."""
-    h = _hash32(F.col("_s"))
+    h = F.col("_sh")
     perms = [
         ((h * F.lit(a) + F.lit(b)) % F.lit(MH_PRIME)).alias(f"_p{j}")
         for j, (a, b) in enumerate(mh_params(k))
@@ -181,7 +252,7 @@ def minhash_signatures(
     return (
         df.select(
             F.col(key).alias("k"),
-            F.explode(word_shingles_col(text, shingle_n)).alias("_s"),
+            F.explode(shingle_hashes_col(text, shingle_n)).alias("_sh"),
         )
         .select("k", *perms)
         .groupBy("k")

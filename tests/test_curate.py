@@ -462,6 +462,23 @@ def test_curate_incremental_near_dedup_against_history(spark, tmp_path, monkeypa
     C._sync_lsh_index(spark, out_table, idx_table)
     assert len(idx_table.history()) == n_commits
 
+    # hash-algorithm drift: an index banded under a different (or legacy
+    # untagged) hash family never collides with fresh buckets, so sync
+    # must force a FULL overwrite rebuild, not an incremental catch-up
+    from table_ocr_spark.operators.dedup import LSH_ALGO
+
+    idx_table.append(
+        idx_table.read(spark).limit(0),
+        summary={"data_seq": out_table.current_seq(), "lsh_algo": "legacy-0"},
+    )
+    live_keys = out_table.read(spark).count()
+    C._sync_lsh_index(spark, out_table, idx_table)
+    h = idx_table.history()[-1]
+    assert h["operation"] == "overwrite"
+    assert h["summary"]["lsh_algo"] == LSH_ALGO
+    # rebuilt index covers exactly the live corpus (bands × live rows)
+    assert idx_table.read(spark).select("_k").distinct().count() == live_keys
+
 
 def test_curate_incremental_equals_full_run_fingerprints(spark, tmp_path, monkeypatch):
     """Two incremental runs over appends A then B produce the SAME

@@ -13,11 +13,13 @@ def _h60(s: str) -> int:
 
 def _py_minhash(text: str, k: int = 8) -> list:
     # independent re-implementation of the affine-permutation MinHash:
-    # one 32-bit md5 base hash per shingle, sig_j = min (a_j*h + b_j) % p
+    # one 32-bit md5 base hash per TOKEN, 2-gram hash = (h1*B + h2) % p
+    # (no shingle string), sig_j = min (a_j*h + b_j) % p
     p = 4294967291
+    B = 1000003
     toks = text.strip().lower().split()
-    sh = set(f"{a} {b}" for a, b in zip(toks, toks[1:]))
-    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+    th = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+    hs = [(h1 * B + h2) % p for h1, h2 in zip(th, th[1:])]
     sig = []
     for j in range(k):
         d = hashlib.md5(f"mh#{j}".encode()).hexdigest()
@@ -378,10 +380,13 @@ def test_lsh_star_pivot_salt_and_candidates_bound(spark):
     salted = {(r.key_a, r.key_b) for r in minhash_lsh_star_pairs(d, pivot_salt="1").collect()}
     assert len(salted) == 7
     # same SET twice (row order is partition-dependent) → deterministic;
-    # anchor differs from the plain min
+    # anchor differs from the plain min.  Pairs are least/greatest-
+    # normalized (r5 advisory), so the salted anchor is the one key
+    # present in EVERY edge — not necessarily key_a.
     assert salted == {(r.key_a, r.key_b) for r in minhash_lsh_star_pairs(d, pivot_salt="1").collect()}
-    anchors = {a for a, _ in salted}
+    anchors = set.intersection(*[{a, b} for a, b in salted])
     assert len(anchors) == 1 and anchors != {0}
+    assert all(a < b for a, b in salted)
 
     # candidate bound: 8 clone docs in the index, every bucket truncated
     # to its 2 lowest keys → each new doc pairs with exactly those 2
