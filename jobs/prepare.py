@@ -1,0 +1,221 @@
+"""spark-submit entry for TRAINING-PREP — the last mile after curation.
+
+    spark-submit --py-files engine.zip jobs/prepare.py \
+        --input /path/curated [--input-snapshot] --output /path/prepared \
+        [--split train] [--mixture '{"en": 0.7, "de": 0.3}'] \
+        [--budget 2048] [--buckets 64] [--salt epoch0]
+
+Every training run ends its data pipeline with exactly this composition
+(the reference's single-image flow never faces it — its output is one
+JSON per image; a 10^12-turn corpus must land on disk trainer-ready):
+
+1. **read**     — the curated corpus (jobs/curate.py output): either a
+   snapshot-log table (``--input-snapshot``, snapshot-isolated read) or
+   the plain parquet layout; filtered to one ``--split`` (default
+   ``train`` — val/test are eval sets, they are not packed).
+2. **rebalance** (optional, ``--mixture``; operators/mixture.py) —
+   deterministic hash subsampling to target group shares (language /
+   source / domain).  Int64-exact PPM thresholds, keyed on the content
+   fingerprint so the kept set is stable under repartitioning and
+   reruns; the rates frame broadcasts, the corpus never shuffles here.
+3. **shuffle**  (operators/ordering.py) — the fixed pseudo-random order
+   SGD needs, derived from the data: order key = md5(conv_id, turn_idx,
+   salt).  No RNG state, no ORDER BY rand(), no single-partition
+   window; rotate ``--salt`` per epoch for a fresh independent order.
+4. **pack**     (``pack_sequences``, operators/textstats.py) — the
+   "concatenate the stream, cut every ``--budget`` tokens" slotting
+   that builds fixed-context batches.  The pack KEY is the shuffle key,
+   so within every bucket docs pack in pseudo-random order: bucket =
+   hash(order_key) % buckets, one running-sum window per bucket, a
+   sequence never spans buckets (shard-then-pack, the standard layout).
+5. **shard write** — one parquet file per pack_bucket, rows sorted by
+   (seq_id, seq_offset): a trainer maps shard i ↔ bucket i and streams
+   it as a contiguous pre-packed token stream.  The layout is
+   PARALLELISM-INVARIANT by construction (every assignment above is a
+   deterministic function of row content — pytest-pinned by running the
+   job at two core counts and diffing shard contents), so a retried or
+   re-provisioned run reproduces byte-identical shards.
+
+Metrics ride the single write action via ``observe`` (rows/tokens in,
+rebalanced, packed — no second scan; same contract as jobs/curate.py)
+and land in ``_prepare_summary.json``.
+
+Scale shape at 100 TB: one broadcast join (mixture rates), one range
+shuffle (the global order), one hash shuffle on pack_bucket (the
+packing window + the write clustering ride it together) — three
+exchanges total, none keyed on a skewable value (md5 keys are uniform
+by construction).  ``--buckets`` is the shard-count lever: 64 at test
+scale, O(10k) on a real cluster so each shard stays ~disk-block sized.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_prepared(
+    df,
+    budget: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "",
+    mixture: dict | None = None,
+    mixture_group: str = "lang",
+    token_col: str = "n_tokens",
+):
+    """curated rows → packed training rows (pure plan builder, no I/O).
+
+    Output columns: the input's, plus ``pack_bucket`` / ``seq_id`` /
+    ``seq_offset`` (the training-sequence slot).  Deterministic in row
+    CONTENT only — safe to re-run, resume, or re-provision."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.mixture import rebalance_mixture
+    from table_ocr_spark.operators.ordering import shuffle_key_col
+    from table_ocr_spark.operators.textstats import pack_sequences
+
+    if mixture:
+        # keyed on the content fingerprint: exact-dedup guarantees it is
+        # unique in curated output, and a content key keeps the sampled
+        # set identical across reruns even if conv ids are re-assigned
+        df = rebalance_mixture(df, mixture, group=mixture_group, key="fingerprint")
+    ordered = df.withColumn(
+        "_order", shuffle_key_col(["conv_id", "turn_idx"], salt=salt)
+    )
+    packed = pack_sequences(
+        ordered, token_col=token_col, key="_order", budget=budget, n_buckets=n_buckets
+    )
+    return packed.drop("_order")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="training-prep job: rebalance → shuffle → pack → shards")
+    ap.add_argument("--input", required=True, help="curated output root (jobs/curate.py)")
+    ap.add_argument(
+        "--input-snapshot",
+        action="store_true",
+        help="read --input as a curate --snapshot root (snapshot-log table "
+        "under <input>/table, snapshot-isolated read)",
+    )
+    ap.add_argument("--output", required=True, help="prepared output root")
+    ap.add_argument(
+        "--split",
+        default="train",
+        help="which dataset split to prepare ('' = all rows; default train)",
+    )
+    ap.add_argument(
+        "--mixture",
+        default="",
+        help="JSON dict of target group shares, e.g. '{\"en\": 0.7, \"de\": 0.3}' "
+        "(or a path to a JSON file); '' = keep the natural mixture",
+    )
+    ap.add_argument("--mixture-group", default="lang", help="grouping column for --mixture")
+    ap.add_argument("--budget", type=int, default=2048, help="tokens per training sequence")
+    ap.add_argument(
+        "--buckets",
+        type=int,
+        default=64,
+        help="pack buckets == output shards (sequences never span buckets)",
+    )
+    ap.add_argument("--salt", default="", help="epoch salt: rotates the global order")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import time
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.session import build_session
+
+    mixture = None
+    if args.mixture:
+        if os.path.exists(args.mixture):
+            with open(args.mixture) as f:
+                mixture = json.load(f)
+        else:
+            mixture = json.loads(args.mixture)
+
+    spark = build_session(app_name="prepare", cores=args.cores)
+    t0 = time.time()
+
+    if args.input_snapshot:
+        from table_ocr_spark.sources.snapshots import SnapshotTable
+
+        table = SnapshotTable(os.path.join(args.input, "table"))
+        if table.current_seq() is None:
+            raise SystemExit(f"input snapshot table at {args.input} is empty")
+        src = table.read(spark)
+    else:
+        src = spark.read.parquet(os.path.join(args.input, "data"))
+    if args.split:
+        src = src.filter(F.col("split") == args.split)
+
+    obs_in = Observation("prepare_in")
+    src = src.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+
+    packed = build_prepared(
+        src,
+        budget=args.budget,
+        n_buckets=args.buckets,
+        salt=args.salt,
+        mixture=mixture,
+        mixture_group=args.mixture_group,
+    )
+    obs_out = Observation("prepare_out")
+    packed = packed.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum("n_tokens").alias("tokens_out"),
+        F.max("seq_id").alias("max_seq_id_per_bucket"),
+    )
+
+    # one file per bucket, rows in pack order: pack_sequences already
+    # hash-partitioned by pack_bucket at exactly `buckets` width, so the
+    # write reuses that exchange — the only remaining work is an
+    # in-partition sort (no shuffle), which pins deterministic row order
+    # regardless of input partitioning or core count
+    shards = packed.sortWithinPartitions(
+        "pack_bucket", "seq_id", "seq_offset", "conv_id", "turn_idx"
+    )
+    (
+        shards.write.mode("overwrite")
+        .partitionBy("pack_bucket")
+        .parquet(os.path.join(args.output, "shards"))
+    )
+
+    def _get(o, defaults):
+        try:
+            got = o.get
+            return got if got else dict(defaults)
+        except Exception:
+            return dict(defaults)
+
+    summary = {
+        "input": args.input,
+        "output": args.output,
+        "split": args.split or "all",
+        "mixture": mixture or "natural",
+        "budget": args.budget,
+        "buckets": args.buckets,
+        "salt": args.salt,
+        **_get(obs_in, {"rows_in": 0}),
+        **_get(
+            obs_out,
+            {"rows_out": 0, "tokens_out": 0, "max_seq_id_per_bucket": None},
+        ),
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
+    with open(os.path.join(args.output, "_prepare_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, default=str)
+    print(json.dumps(summary, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

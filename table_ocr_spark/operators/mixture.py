@@ -65,18 +65,24 @@ def mixture_rates(df: DataFrame, targets: dict, group: str = "lang") -> DataFram
     # int64 end-to-end (counts ≤ 10^12 × PPM = 10^18 < 2^63): Column `/`
     # is DOUBLE with a 53-bit mantissa, whose rounding diverges from the
     # documented integer formula (and the DuckDB oracle's `//`) for
-    # groups beyond ~9e9 rows
-    n_out = j.select(
-        F.min(
-            F.expr(f"(group_count * {PPM}) div share_ppm")
-        ).alias("n_out")
+    # groups beyond ~9e9 rows.
+    # n_out is a WINDOW min over the rates frame, not a min-aggregate
+    # joined back: the aggregate form references `j` from two plan
+    # branches, and a twice-referenced frame executes twice — the corpus
+    # groupBy(count) scan ran 2× (measured in jobs/prepare.py's plan).
+    # The window's single partition holds one row per targeted group
+    # (a handful), so the non-parallel stage is O(groups), not O(corpus).
+    from pyspark.sql.window import Window
+
+    n_out = F.min(F.expr(f"(group_count * {PPM}) div share_ppm")).over(
+        Window.partitionBy()
     )
     return (
-        j.crossJoin(F.broadcast(n_out))
+        j.withColumn("_n_out", n_out)
         .withColumn(
             "thr_ppm",
             F.when(F.col("group_count") > 0,
-                   F.expr("(n_out * share_ppm) div group_count"))
+                   F.expr("(_n_out * share_ppm) div group_count"))
             .otherwise(F.lit(0))
             .cast("long"),
         )

@@ -332,7 +332,15 @@ def pack_sequences(
     sequence never spans buckets).  A doc belongs to the sequence where
     its first token lands; docs longer than ``budget`` still get exactly
     one slot (downstream chunking splits them).  Deterministic ⇒ the
-    DuckDB oracle reproduces it bit-for-bit with the same window spec."""
+    DuckDB oracle reproduces it bit-for-bit with the same window spec.
+
+    The window rides an EXPLICIT repartition(n_buckets, pack_bucket) —
+    one partition per bucket.  Explicit width is AQE-coalescing-exempt
+    (bytes underestimate the window's compute density, the
+    minhash_lsh_pairs lesson) and it makes the exchange the one a
+    shard writer needs anyway: jobs/prepare.py writes straight out of
+    this partitioning (partitionBy splits co-resident buckets into
+    per-bucket files), saving a second full-row shuffle on the same key."""
     bucket = F.pmod(
         hash60_col(F.col(key).cast("string")).cast(
             "long"
@@ -344,8 +352,10 @@ def pack_sequences(
         .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.withColumn("pack_bucket", bucket).withColumn(
-        "_cum", F.sum(F.col(token_col).cast("long")).over(w)
+    out = (
+        df.withColumn("pack_bucket", bucket)
+        .repartition(n_buckets, "pack_bucket")
+        .withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
     )
     start = F.col("_cum") - F.col(token_col)
     return (
