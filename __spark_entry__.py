@@ -927,6 +927,36 @@ def q_conv_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(conv_text(both), "text", "conv_id")
 
 
+def q_conv_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level NEAR-dedup (VERDICT r5 #4): whole convs
+    re-assembled in turn order, with lightly-EDITED re-uploads injected
+    (every doc_id % 10 == 0 conv cloned under `<conv>-edit`, one word
+    appended to its LAST turn) — the common real-world case that
+    `conv_exact_dedup` (fingerprints differ) and turn-level near-dedup
+    (drops turns, not the conversation) both miss.  MinHash-LSH candidate
+    pairs over the conv texts, exact word-set Jaccard verify ≥ 0.6:
+    each edited clone must pair with its original; unrelated convs share
+    only the banner words (Jaccard ≈ 0.15) and must not."""
+    from table_ocr_spark.operators.conv_scope import conv_text
+    from table_ocr_spark.operators.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+    turns = _banner_conv_turns(spark, sf_dir)
+    clones = (
+        turns.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-edit")))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("turn_idx") == 4, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    both = turns.unionByName(clones).select("conv_id", "turn_idx", "text")
+    conv = conv_text(both)
+    pairs = minhash_lsh_pairs(conv, "text", "conv_id")
+    return verify_pairs_jaccard(pairs, conv, text="text", key="conv_id", threshold=0.6)
+
+
 def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-scoped boilerplate removal (applyInPandas whole-conv
     stage): the banner repeated in 5/5 turns must vanish.
@@ -1833,6 +1863,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_incremental": q_minhash_lsh_pairs_incremental,  # NEW r5: banded-index join
         "minhash_lsh_star": q_minhash_lsh_star,                      # NEW r5: O(n)-per-bucket star form
         "conv_exact_dedup": q_conv_exact_dedup,                      # NEW r5: whole-conversation dedup
+        "conv_near_dedup": q_conv_near_dedup,                        # NEW r6: edited re-upload catch
         "near_dup_verified": q_near_dup_verified,
         # ---- similarity / ANN (3) ----
         "embedding_near_dup": q_embedding_near_dup,
@@ -2486,6 +2517,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(lower(trim(regexp_replace(ctext, '\\s+', ' ', 'g')))) AS fingerprint, "
             "count(*)::BIGINT AS n_dups, min(conv_id) AS min_key "
             "FROM convs GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "conv_near_dedup": (
+            # conv texts (same construction) + '-edit' clones with one
+            # word appended to the LAST turn; then the standard MinHash
+            # banding over the conv text and word-set Jaccard ≥ 0.6 on
+            # the candidate pairs — identical arithmetic to the Spark
+            # operators (shingle hashes, band buckets, 6dp rounding)
+            "WITH convs AS (SELECT doc_id::VARCHAR AS conv_id, "
+            + (
+                " || chr(10) || ".join(
+                    f"'SENT FROM MY AGENT' || chr(10) || {_SQL_TOKS}[{t}+1] || '-{t}'"
+                    for t in range(5)
+                )
+            )
+            + " AS text FROM documents UNION ALL "
+            "SELECT doc_id::VARCHAR || '-edit', "
+            + (
+                " || chr(10) || ".join(
+                    f"'SENT FROM MY AGENT' || chr(10) || {_SQL_TOKS}[{t}+1] || '-{t}'"
+                    for t in range(4)
+                )
+            )
+            + f" || chr(10) || 'SENT FROM MY AGENT' || chr(10) || {_SQL_TOKS}[5] || '-4' || ' edited'"
+            " FROM documents WHERE doc_id % 10 = 0), "
+            f"sigs AS (SELECT conv_id, {_sql_minhash_sig_list()} AS sig FROM convs), "
+            "banded AS (SELECT conv_id, band, "
+            "sig[band * 2 + 1]::VARCHAR || ':' || sig[band * 2 + 2]::VARCHAR AS bucket "
+            "FROM sigs, (SELECT unnest(range(4)) AS band) _b WHERE sig[1] IS NOT NULL), "
+            "pairs AS (SELECT DISTINCT a.conv_id AS key_a, b.conv_id AS key_b "
+            "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+            "AND a.conv_id < b.conv_id) "
+            "SELECT key_a, key_b, round(jac, 6) AS jaccard FROM ("
+            "SELECT p.key_a, p.key_b, "
+            "CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 "
+            "ELSE len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE END AS jac "
+            "FROM pairs p "
+            "JOIN (SELECT conv_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sa FROM convs) a "
+            "ON a.conv_id = p.key_a "
+            "JOIN (SELECT conv_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sb FROM convs) b "
+            "ON b.conv_id = p.key_b) _v WHERE round(jac, 6) >= 0.6"
         ),
         "conv_boilerplate_strip": (
             # the banner repeats in 5/5 turns → banned; each word-<t> line is

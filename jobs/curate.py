@@ -17,17 +17,21 @@ the ones each stage owns:
 3. **score**    (textstats projections, JVM-only) — token counts,
    language ID, quality score, PII redaction, content fingerprint.
 4. **filter**   — quality ≥ threshold, language allow-list, non-empty.
-5. **dedup**    — exact content dedup: keep the min (conv_id, turn_idx)
+5. **conv near-dedup** (optional, ``--conv-near-dedup J``) — whole
+   conversations re-assembled in turn order and near-deduped BEFORE
+   turn dedup: a lightly-edited re-uploaded conversation drops as a
+   unit instead of fragmenting into orphan edited turns.
+6. **dedup**    — exact content dedup: keep the min (conv_id, turn_idx)
    holder of each fingerprint (one map-side-combined aggregate +
    semi-join back — never a full-row groupBy).
-6. **near-dedup** (optional, `--near-dedup J`; operators/dedup.py) —
+7. **near-dedup** (optional, `--near-dedup J`; operators/dedup.py) —
    fuzzy dedup after the exact pass: MinHash LSH candidates (hot buckets
    capped), exact word-Jaccard verify ≥ J on candidates only, connected
    components, keep one representative per family.  Never all-pairs.
-7. **split**    (`dataset_split_col`) — deterministic train/val/test by
+8. **split**    (`dataset_split_col`) — deterministic train/val/test by
    content hash; written as `split=...` partitions so downstream readers
    partition-prune.
-8. **quota/sample** (optional; operators/sampling.py) —
+9. **quota/sample** (optional; operators/sampling.py) —
    `--max-turns-per-conv` caps any conversation's contribution (skew-safe
    two-phase top-N by quality) and `--sample-rate` takes a deterministic
    content-hash downsample (RNG-free, rerun-stable, salt-rotatable).
@@ -85,6 +89,7 @@ def build_curated(
     near_dup_cap: int = 1000,
     near_dup_mode: str = "star",
     near_dup_rounds: int = 2,
+    conv_near_dup_threshold: float | None = None,
 ):
     """transcripts → curated per-turn records (pure plan builder, no I/O).
 
@@ -150,6 +155,47 @@ def build_curated(
         # uncached, the whole strip+score UDF chain would execute twice
         # (measured at sf0.1: 76 s → ~30 s write action with this persist)
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if conv_near_dup_threshold is not None:
+        # CONVERSATION-level near-dedup, BEFORE turn-level dedup — order
+        # is load-bearing: an edited re-upload's unedited turns are exact
+        # dups of the original's, so running turn dedup first would gut
+        # the re-upload into orphan edited-turn fragments instead of
+        # dropping the conversation as a unit (the failure this stage
+        # closes).  Whole convs re-assemble in turn order (one partial-
+        # aggregated collect per conv), MinHash-LSH star candidates over
+        # the conv texts (O(n) per bucket), exact word-Jaccard verify on
+        # candidates only, connected components, keep the component-min
+        # conversation; every turn of a dropped conv goes with it.
+        from table_ocr_spark.operators.conv_scope import conv_text
+        from table_ocr_spark.operators.dedup import (
+            minhash_lsh_star_pairs,
+            near_dup_components,
+            verify_pairs_jaccard,
+        )
+
+        conv = conv_text(kept.select("conv_id", "turn_idx", "text"))
+        if persist_extracted:
+            # referenced by the LSH banding and both verify text joins —
+            # without a persist the whole collect-per-conv (and the
+            # extraction chain under it) executes three times
+            conv = conv.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize once before the CC loop's eager checkpoints: same
+        # AQE empty-relation/Observation hazard documented at the
+        # turn-level near-dedup's with_k.count() below
+        conv.count()
+        cand = minhash_lsh_star_pairs(
+            conv, "text", "conv_id", max_bucket_size=near_dup_cap
+        )
+        pairs = verify_pairs_jaccard(
+            cand, conv, text="text", key="conv_id",
+            threshold=conv_near_dup_threshold,
+        )
+        comps = near_dup_components(pairs)
+        drop = comps.filter(F.col("member") != F.col("component")).select(
+            F.col("member").alias("conv_id")
+        )
+        kept = kept.join(drop, "conv_id", "left_anti")
 
     # exact dedup, representative = min (conv_id, turn_idx) per fingerprint:
     # aggregate ONLY (fingerprint, min-key) — map-side combined, narrow —
@@ -449,6 +495,18 @@ def main(argv=None) -> int:
         "missed; every round stays O(n) per bucket (ignored in pairs mode)",
     )
     ap.add_argument(
+        "--conv-near-dedup",
+        type=float,
+        default=0.0,
+        help="CONVERSATION-level fuzzy-dedup Jaccard threshold (0 = off): "
+        "whole conversations re-assembled in turn order and near-deduped "
+        "BEFORE turn-level dedup, so a lightly-edited re-uploaded "
+        "conversation drops as a unit instead of fragmenting into orphan "
+        "edited turns.  Applies within one run's input (within the "
+        "increment in --incremental mode; cross-increment conv matching "
+        "is not indexed yet)",
+    )
+    ap.add_argument(
         "--near-dedup-candidates",
         type=int,
         default=32,
@@ -587,6 +645,7 @@ def main(argv=None) -> int:
         near_dup_cap=args.near_dedup_cap,
         near_dup_mode=args.near_dedup_mode,
         near_dup_rounds=args.near_dedup_rounds,
+        conv_near_dup_threshold=args.conv_near_dedup or None,
     )
     if out_table is not None and out_table.current_seq() is not None:
         # cross-increment exact dedup: a new row whose content already

@@ -312,6 +312,66 @@ def test_curate_near_dedup(spark, tmp_path, monkeypatch):
     assert len(plain - nd) < 10  # it did not nuke distinct content
 
 
+def test_curate_conv_near_dedup_drops_edited_reupload_whole(spark, tmp_path, monkeypatch):
+    """--conv-near-dedup: a lightly-edited re-uploaded CONVERSATION drops
+    as a unit — including its edited turn — while the original survives
+    intact.  Without the flag, turn-level exact dedup guts the re-upload
+    but strands the edited turn as an orphan fragment (the failure mode
+    the conv stage closes)."""
+    import pandas as pd
+
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+
+    import jobs.curate as C
+
+    pdf = synth.gen_pandas(6, seed=13, max_long=30)
+    ts = pdf["ts"].iloc[0]
+    turns = [
+        "hello there can you help me plan the quarterly budget review",
+        "sure thing let us start with the revenue assumptions for north",
+        "the northern market doubled sales compared to last fiscal year",
+        "great then allocate more headcount to the northern sales team",
+    ]
+    orig = pd.DataFrame(
+        [{"conv_id": "cr-orig", "turn_idx": i, "role": "user",
+          "text": t, "tool": "", "ts": ts} for i, t in enumerate(turns)]
+    )
+    # the re-upload: identical except ONE edited turn (the common case)
+    edited = list(turns)
+    edited[2] = turns[2] + " roughly speaking"
+    reup = pd.DataFrame(
+        [{"conv_id": "cr-reup", "turn_idx": i, "role": "user",
+          "text": t, "tool": "", "ts": ts} for i, t in enumerate(edited)]
+    )
+    pdf = pd.concat([pdf, orig, reup], ignore_index=True)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    write_transcripts_parquet(pdf, str(tmp_path / "in"))
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    common = ["--input", str(tmp_path / "in"), "--min-quality", "0.0"]
+
+    # baseline: turn dedup fragments the re-upload (edited turn orphaned)
+    assert C.main(common + ["--output", str(tmp_path / "plain")]) == 0
+    plain = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(
+        str(tmp_path / "plain" / "data")).select("conv_id", "turn_idx").collect()}
+    assert ("cr-reup", 2) in plain  # the orphan fragment
+    assert ("cr-reup", 0) not in plain  # its siblings got turn-deduped
+
+    assert C.main(common + ["--output", str(tmp_path / "cnd"),
+                            "--conv-near-dedup", "0.6"]) == 0
+    cnd = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(
+        str(tmp_path / "cnd" / "data")).select("conv_id", "turn_idx").collect()}
+    # the re-upload is gone ENTIRELY; the original keeps all four turns
+    assert not {k for k in cnd if k[0] == "cr-reup"}
+    assert {k for k in cnd if k[0] == "cr-orig"} == {("cr-orig", i) for i in range(4)}
+    # unrelated conversations are untouched
+    assert {k for k in cnd if not k[0].startswith("cr-")} == {
+        k for k in plain if not k[0].startswith("cr-")
+    }
+
+
 def test_curate_incremental_processes_only_appended_files(spark, tmp_path, monkeypatch):
     """--input-snapshot --incremental: run 2 reads ONLY the files the input
     log appended since run 1 (seq recorded in the output commit manifest),
