@@ -165,9 +165,59 @@ class ExtractionTable:
         )
         return {r.bucket for r in rows}
 
+    # one small parquet file lands per commit; past this many the dir is
+    # folded into one file so lineage never becomes an unbounded
+    # small-file crawl (the snapshot log has compaction; this is the
+    # bucket-lineage analog)
+    LINEAGE_COMPACT_THRESHOLD = 64
+
     def append_lineage(self, spark: SparkSession, rows: list) -> None:
         df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+        self._maybe_compact_lineage(spark)
+
+    def _maybe_compact_lineage(self, spark: SparkSession, max_files: int | None = None) -> None:
+        """Fold the lineage dir into one parquet file once it exceeds
+        ``max_files`` small files.  Crash-safe under the table's
+        single-writer contract: the compacted file is MOVED in before
+        the old files are removed, so a crash in between leaves exact
+        duplicate rows — removed by the ``distinct()`` here on the next
+        compaction, and harmless to ``committed_buckets`` (a distinct
+        set) in the meantime."""
+        import shutil
+        import uuid
+
+        limit = max_files or self.LINEAGE_COMPACT_THRESHOLD
+        try:
+            files = sorted(
+                f for f in os.listdir(self.lineage_dir) if f.endswith(".parquet")
+            )
+        except FileNotFoundError:
+            return
+        if len(files) <= limit:
+            return
+        old_paths = [os.path.join(self.lineage_dir, f) for f in files]
+        tmp = self.lineage_dir + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.schema(LINEAGE_SCHEMA)
+            .parquet(*old_paths)
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(tmp, f),
+                    os.path.join(
+                        self.lineage_dir, f"compacted-{uuid.uuid4().hex}.parquet"
+                    ),
+                )
+        for p in old_paths:
+            os.remove(p)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def write_config(self, cfg_json: str, config_hash: str) -> None:
         os.makedirs(self.config_dir, exist_ok=True)

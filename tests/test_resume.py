@@ -142,3 +142,26 @@ def test_rerun_with_different_bucketing_refuses(spark, tmp_path):
     # same bucketing resumes cleanly (all buckets already committed)
     res = run_extract(spark, inp, out, n_buckets=4, commit_groups=2)
     assert res.skipped_buckets == [0, 1, 2, 3]
+
+
+def test_lineage_compaction_bounds_files_and_preserves_rows(spark, tmp_path):
+    """append_lineage folds the sidecar dir once it exceeds the
+    threshold: file count stays bounded across many commits, every row
+    survives, and committed_buckets is unchanged (the one unbounded
+    small-file growth path flagged in round 5)."""
+    import os
+
+    from table_ocr_spark.sources.catalog import ExtractionTable
+
+    t = ExtractionTable(str(tmp_path / "tbl"))
+    n_commits = t.LINEAGE_COMPACT_THRESHOLD + 6
+    for run in range(n_commits):
+        t.append_lineage(spark, [{
+            "run_id": f"r{run}", "config_hash": "c", "bucket": run % 8,
+            "status": "committed", "rows": 10, "convs": 2,
+            "boilerplate_ratio": 0.1, "cell_count": 3, "wall_ms": 5,
+        }])
+    files = [f for f in os.listdir(t.lineage_dir) if f.endswith(".parquet")]
+    assert len(files) <= t.LINEAGE_COMPACT_THRESHOLD
+    assert t.read_lineage(spark).count() == n_commits
+    assert t.committed_buckets(spark, "c") == set(range(8))
