@@ -72,6 +72,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class _ConcurrentIncrement(Exception):
+    """A concurrent incremental run already committed this input seq —
+    appending again would duplicate the increment."""
+
+
 def build_curated(
     df,
     cfg,
@@ -586,8 +591,12 @@ def main(argv=None) -> int:
         if args.incremental:
             out_table = SnapshotTable(os.path.join(args.output, "table"))
             # resume point: newest output commit that recorded a consumed
-            # input seq (driver-side manifest walk, no data reads)
+            # input seq (driver-side manifest walk, no data reads).
+            # after_seq_base pins the OUTPUT seq this plan was derived
+            # from — the concurrent-increment guard at commit time only
+            # inspects commits newer than it.
             after_seq = 0
+            after_seq_base = out_table.current_seq() or 0
             for h in reversed(out_table.history()):
                 if "input_seq_processed" in h["summary"]:
                     after_seq = int(h["summary"]["input_seq_processed"])
@@ -803,8 +812,52 @@ def main(argv=None) -> int:
         if args.incremental:
             # incremental runs commit only the new increment's rows —
             # append is the correct semantics (and read_changes already
-            # made the job a no-op when there is no new input)
-            seq = table.append(curated, summary_fn=_metrics)
+            # made the job a no-op when there is no new input).
+            #
+            # The single-writer contract is ENFORCED, not assumed: two
+            # runs racing on the same unprocessed input seq would both
+            # anti-join against the same committed state and both
+            # append — the snapshot layer's blind rebase-retry cannot
+            # tell "independent commit" from "my increment, landed by
+            # someone else".  The validator re-walks the output history
+            # on every commit attempt and aborts (staged files cleaned)
+            # when a commit newer than our resume base already records
+            # input_seq_processed >= our input seq.
+            def _guard_concurrent_increment():
+                for h in reversed(out_table.history()):
+                    if h["seq"] <= after_seq_base:
+                        break
+                    s = h["summary"]
+                    if ("input_seq_processed" in s
+                            and int(s["input_seq_processed"]) >= in_seq):
+                        raise _ConcurrentIncrement(
+                            f"input seq {in_seq} was committed by a "
+                            f"concurrent run (output seq {h['seq']})"
+                        )
+
+            try:
+                seq = table.append(
+                    curated,
+                    summary_fn=_metrics,
+                    validate_fn=_guard_concurrent_increment,
+                )
+            except _ConcurrentIncrement as e:
+                summary = {
+                    "input": args.input,
+                    "output": args.output,
+                    "input_seq_processed": in_seq,
+                    "rows_out": 0,
+                    "increment_already_committed": True,
+                    "detail": str(e),
+                }
+                os.makedirs(args.output, exist_ok=True)
+                with open(
+                    os.path.join(args.output, "_curation_summary.json"), "w"
+                ) as f:
+                    json.dump(summary, f, indent=1, default=str)
+                print(json.dumps(summary, default=str))
+                spark.stop()
+                return 0
         else:
             # a full (non-incremental) run recomputes the WHOLE corpus:
             # commit via overwrite so rerunning the identical command is

@@ -372,6 +372,7 @@ class SnapshotTable:
         summary: Optional[dict] = None,
         max_retries: int = 5,
         summary_fn=None,
+        validate_fn=None,
     ) -> int:
         """Append ``df`` as a new snapshot; rebase-and-retry on conflict.
 
@@ -383,15 +384,38 @@ class SnapshotTable:
         after the Spark write action ran) and merged into ``summary`` —
         the hook that lets ``observe()`` metrics from the write pass land
         inside the commit manifest itself (metrics alongside the commit,
-        the north-rule lineage shape)."""
+        the north-rule lineage shape).
+
+        ``validate_fn``: semantic conflict check, re-run on EVERY retry
+        against the table's then-current state.  A blind rebase is
+        correct only when concurrent commits are independent; when they
+        are not (two incremental curate runs landing the same input
+        increment — jobs/curate.py), the caller passes a validator that
+        raises to abort instead.  On abort (or retry exhaustion) the
+        already-staged data files are deleted, so a losing writer leaves
+        no orphans behind."""
         cur0 = self.current_seq()
         if cur0 is not None:
             df = self._conform(df, self.manifest(cur0).get("schema"))
         new_files, schema_json = self._stage_df(df)
+
+        def _unstage() -> None:
+            for fe in new_files:
+                try:
+                    os.remove(os.path.join(self.root, fe.path))
+                except OSError:
+                    pass
+
         if summary_fn is not None:
             summary = {**(summary or {}), **summary_fn()}
         for _ in range(max_retries):
             cur = self.current_seq()
+            if validate_fn is not None:
+                try:
+                    validate_fn()
+                except Exception:
+                    _unstage()
+                    raise
             base_m = self.manifest(cur) if cur is not None else {}
             base = base_m.get("files", [])
             # a rebase must adopt the base's EVOLVED schema, not re-publish
@@ -442,6 +466,7 @@ class SnapshotTable:
                 )
             except CommitConflict:
                 continue  # someone else landed; rebase on their manifest
+        _unstage()
         raise CommitConflict(f"append lost {max_retries} commit races at {self.root}")
 
     def overwrite(

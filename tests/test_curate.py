@@ -372,6 +372,110 @@ def test_curate_conv_near_dedup_drops_edited_reupload_whole(spark, tmp_path, mon
     }
 
 
+def test_curate_incremental_concurrent_writer_aborts_cleanly(spark, tmp_path, monkeypatch):
+    """Two incremental curate runs racing on the same unprocessed input
+    seq: the loser must ABORT (no duplicate increment, no orphan staged
+    files), not blind-rebase-append — the single-writer contract is
+    enforced at commit time, not assumed.  The LSH index may lag the
+    winner's commit and must heal to consistency on the next sync."""
+    import glob
+    import os
+
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources import snapshots as S
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def tx(pdf):
+        pdf = pdf.copy()
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    in_root, out_root = str(tmp_path / "in"), str(tmp_path / "out")
+    in_table = SnapshotTable(in_root)
+    in_table.append(tx(synth.gen_pandas(5, seed=41, max_long=20)))
+    args = ["--input", in_root, "--output", out_root, "--min-quality", "0.0",
+            "--input-snapshot", "--incremental", "--snapshot",
+            "--near-dedup", "0.9"]
+    assert C.main(args) == 0
+    out_table = SnapshotTable(str(tmp_path / "out" / "table"))
+    idx_table = SnapshotTable(str(tmp_path / "out" / "lsh_index"))
+    n1 = out_table.read(spark).count()
+
+    # batch 2 lands in the input; run A plans against it, but between A's
+    # planning and A's commit a concurrent run B commits the SAME input
+    # increment.  Simulated deterministically: the first append() against
+    # the output table first performs B's winning commit, then proceeds
+    # with A's own attempt — whose validator must fire.
+    in_table.append(tx(synth.gen_pandas(4, seed=43, max_long=20)))
+    in_seq = in_table.current_seq()
+
+    orig_append = S.SnapshotTable.append
+    raced = {"fired": False}
+
+    def racing_append(self, df, summary=None, max_retries=5, summary_fn=None,
+                      validate_fn=None):
+        if (self.root == out_table.root and validate_fn is not None
+                and not raced["fired"]):
+            raced["fired"] = True
+            # run B (the winner): same increment, legitimate summary
+            orig_append(
+                SnapshotTable(self.root), df,
+                summary={"input_seq_processed": in_seq, "rows_out": -1},
+            )
+        return orig_append(self, df, summary=summary, max_retries=max_retries,
+                           summary_fn=summary_fn, validate_fn=validate_fn)
+
+    monkeypatch.setattr(S.SnapshotTable, "append", racing_append)
+    assert C.main(args) == 0  # run A: loses the race, exits cleanly
+    monkeypatch.setattr(S.SnapshotTable, "append", orig_append)
+    assert raced["fired"]
+
+    import json as _json
+    with open(str(tmp_path / "out" / "_curation_summary.json")) as f:
+        s = _json.load(f)
+    assert s.get("increment_already_committed") is True
+
+    # exactly ONE copy of the increment: B's commit is the only new one
+    cur = out_table.read(spark)
+    n2 = cur.count()
+    assert n2 > n1
+    assert cur.select("fingerprint").distinct().count() == n2
+    ops = [h["summary"].get("input_seq_processed") for h in out_table.history()]
+    assert ops.count(in_seq) == 1
+    # the loser left no orphan staged files: every parquet under data/
+    # is referenced by the live manifest
+    live = {d["path"] for d in out_table.manifest()["files"]}
+    on_disk = {
+        os.path.relpath(p, out_table.root)
+        for p in glob.glob(os.path.join(out_table.root, "data", "*.parquet"))
+    }
+    assert on_disk <= live | {
+        d["path"] for seq in range(1, (out_table.current_seq() or 0) + 1)
+        for d in out_table.manifest(seq)["files"]
+    }
+    n_files_all_seqs = {
+        d["path"] for seq in range(1, (out_table.current_seq() or 0) + 1)
+        for d in out_table.manifest(seq)["files"]
+    }
+    assert on_disk == n_files_all_seqs  # nothing unreferenced, nothing missing
+
+    # index healed: B never synced it; the next sync covers B's commit
+    C._sync_lsh_index(spark, out_table, idx_table)
+    covered = max(
+        int(h["summary"]["data_seq"])
+        for h in idx_table.history() if "data_seq" in h["summary"]
+    )
+    assert covered == out_table.current_seq()
+
+
 def test_curate_incremental_processes_only_appended_files(spark, tmp_path, monkeypatch):
     """--input-snapshot --incremental: run 2 reads ONLY the files the input
     log appended since run 1 (seq recorded in the output commit manifest),
