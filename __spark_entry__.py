@@ -841,6 +841,39 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search via a PERSISTED assignment index (VERDICT r5 #7):
+    history (vec_id % 10 != 0) participates as its pre-computed
+    (key, _list) index rows, only the increment (vec_id % 10 == 0) is
+    assigned this run, and search filters the combined index to the
+    probed lists then fetches member vectors by key — history is never
+    re-assigned (plan-asserted with a parquet-persisted index in
+    tests/test_ivf_and_ordering.py).  Values are identical to assigning
+    everything fresh, which is what the oracle computes; `is_new` marks
+    the increment's rows in the result."""
+    from table_ocr_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_index_rows,
+        ivf_topk_indexed,
+    )
+
+    e = _emb(spark, sf_dir)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = deterministic_centroids(dim=64, n_lists=8)
+    history = e.filter(F.col("vec_id") % 10 != 0)
+    increment = e.filter(F.col("vec_id") % 10 == 0)
+    index = ivf_index_rows(history, cents).unionByName(
+        ivf_index_rows(increment, cents)
+    )
+    top = ivf_topk_indexed(index, e, cents, qv, k=20, n_probe=3)
+    return top.select(
+        "vec_id",
+        F.col("_list").alias("ivf_list"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+        (F.col("vec_id") % 10 == 0).alias("is_new"),
+    )
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-world near-dup pairs: banded sign-LSH candidates (2 bands × 8
     deterministic hyperplanes) + exact cosine verify — no O(n²) cross
@@ -1869,6 +1902,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_incremental": q_embedding_near_dup_incremental,  # NEW r5: sign-LSH index join
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_incremental": q_ivf_topk_incremental,  # NEW r6: persisted-index search
         # ---- multimodal (3) ----
         "media_png_stats": q_media_png_stats,
         "media_wav_stats": q_media_wav_stats,
@@ -2459,6 +2493,12 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY {cos} DESC, e.vec_id LIMIT 20"
         ),
         "ivf_topk": _sql_ivf_topk(n_lists=8, dim=64, n_probe=3, k=20),
+        "ivf_topk_incremental": (
+            # index-reuse is a PLAN property; values equal fresh
+            # assignment of everything, plus the increment flag
+            "SELECT vec_id, ivf_list, cos_sim, (vec_id % 10 = 0) AS is_new "
+            f"FROM ({_sql_ivf_topk(n_lists=8, dim=64, n_probe=3, k=20)}) _t"
+        ),
         "media_png_stats": _sql_media_png_stats(),
         "media_wav_stats": _sql_media_wav_stats(),
         "media_mp4_stats": _sql_media_mp4_stats(),

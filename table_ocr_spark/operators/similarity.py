@@ -254,6 +254,54 @@ def ivf_topk(
     return cosine_topk(cand, query, k=k, vec=vec, key=key, keep=("_list",))
 
 
+def ivf_index_rows(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec: str = "embedding",
+    key: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Persistable IVF assignment INDEX rows: (key, _list) — the
+    coarse-quantizer analog of ``embedding_lsh_index`` /
+    ``dedup.lsh_banded``.  An incremental pipeline appends these rows
+    per data increment (one int per vector, independent of ``dim``);
+    later searches read the index instead of re-running the
+    centroid-dot assignment over the whole history
+    (``ivf_topk_indexed``).  The codebook itself (n_lists × dim floats)
+    lives with the index as a tiny sidecar — with
+    ``deterministic_centroids`` it is pure code; a KMeans-fitted
+    codebook must be persisted once at fit time and NEVER refit per
+    increment (refitting moves every historical assignment)."""
+    return ivf_assign(df, centroids, vec, round_dp).select(key, "_list")
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    vecs: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """IVF search against a PERSISTED assignment index (``ivf_index_rows``
+    output, accumulated across increments): probe lists are chosen
+    driver-side over the tiny codebook, the index — narrow (key, _list)
+    rows — filters to the probed lists, and vectors are fetched from the
+    corpus table by key ONLY for probed-list members.  History is never
+    re-assigned: the only centroid arithmetic in the plan is the
+    driver-side probe ranking (plan-asserted in
+    tests/test_ivf_and_ordering.py).  Search IO ≈ n_probe/n_lists of the
+    index plus the member vectors."""
+    probes = ivf_probes(centroids, query, n_probe)
+    members = index.filter(F.col("_list").isin([int(p) for p in probes])).select(
+        key, "_list"
+    )
+    cand = members.join(vecs.select(key, vec), key)
+    return cosine_topk(cand, query, k=k, vec=vec, key=key, keep=("_list",))
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     dim: int,

@@ -133,3 +133,49 @@ def test_ivf_literal_codebook(spark):
     # the kept _list column matches each row's assignment
     amap = {r.vec_id: r._list for r in assigned.select("vec_id", "_list").collect()}
     assert all(r._list == amap[r.vec_id] for r in rows)
+
+
+def test_ivf_persisted_index_search_never_reassigns_history(spark, tmp_path):
+    """ivf_topk_indexed over a parquet-persisted assignment index: the
+    index scan is column-pruned to (vec_id, _list) with the probed-list
+    filter pushed down, and the plan contains ZERO centroid-assignment
+    subtrees (no array_max-over-centroid-dots) — history participates as
+    its index rows only.  Values match the assign-everything path."""
+    from table_ocr_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_index_rows,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = deterministic_centroids(dim=64, n_lists=8)
+    query = [float(x) for x in emb.filter("vec_id = 7").select("embedding").first()[0]]
+
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_index_rows(emb, cents).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    top = ivf_topk_indexed(index, emb, cents, query, k=10, n_probe=3)
+    plan = top._jdf.queryExecution().explainString(
+        top.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # index scan: pruned to the two narrow columns, probe filter pushed
+    assert "_list" in plan
+    idx_scan = [b for b in plan.split("\n\n") if "ivf_index" in b and "Scan parquet" in b]
+    assert idx_scan, plan
+    assert "ReadSchema: struct<vec_id:bigint,_list:int>" in idx_scan[0]
+    assert "In(_list" in idx_scan[0] or "PushedFilters: [IsNotNull(_list), In(_list" in idx_scan[0]
+    # no assignment subtree anywhere: ivf_assign's argmax-over-centroids
+    # packs (score, -list) structs into array_max — absent means history
+    # (and everything else in THIS plan) was never re-assigned
+    assert "array_max" not in plan
+
+    # values identical to assigning everything fresh
+    fresh = ivf_topk(ivf_assign(emb, cents), cents, query, k=10, n_probe=3)
+    assert [(r.vec_id, r._list) for r in top.collect()] == [
+        (r.vec_id, r._list) for r in fresh.collect()
+    ]
