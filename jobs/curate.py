@@ -355,19 +355,23 @@ def build_curated(
     return deduped
 
 
-def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
-    """Bring the LSH-index sidecar table up to the curated data table's
+def _sync_banded_index(spark, out_table, index_table, band_fn, key_fn):
+    """Bring an LSH-index sidecar table up to the curated data table's
     current seq: band ONLY the data increments the index does not cover
     yet (``read_changes`` — zero reads of already-indexed files) and
     append them with the covered data seq in the commit summary.
 
-    Idempotent and crash-healing: a run that died between its data
-    append and its index append leaves the index behind by one seq, and
-    the next run's sync closes the gap before using the index — the
-    index can lag (briefly missing candidates) but never lies."""
-    from pyspark.sql import functions as F
-
-    from table_ocr_spark.operators.dedup import LSH_ALGO, lsh_banded
+    ``band_fn(rows) -> (key, band, bucket)`` defines the indexed
+    granularity (per-turn text or per-conversation text); ``key_fn(rows)
+    -> rows + key column`` names the unit for the compact-catch-up
+    anti-join.  Idempotent and crash-healing: a run that died between
+    its data append and its index append leaves the index behind by one
+    seq, and the next run's sync closes the gap before using the
+    index — the index can lag (briefly missing candidates) but never
+    lies.  Indexes are stamped with the hash-algorithm tag; a mismatch
+    (or legacy untagged index) forces a full rebuild instead of
+    silently never colliding with fresh buckets."""
+    from table_ocr_spark.operators.dedup import LSH_ALGO
 
     cur = out_table.current_seq()
     if cur is None:
@@ -377,29 +381,14 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
     for h in reversed(index_table.history()):
         if "data_seq" in h["summary"]:
             covered = int(h["summary"]["data_seq"])
-            # an index banded under a different hash family never
-            # collides with freshly-banded buckets — candidates silently
-            # vanish; a tag mismatch (or a legacy untagged index) must
-            # force a full rebuild, not an incremental catch-up
             algo_ok = h["summary"].get("lsh_algo") == LSH_ALGO
             break
     if algo_ok and covered >= cur:
         return
-
-    def _band(rows):
-        with_k = rows.select(
-            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("_k"),
-            "text",
-        )
-        return lsh_banded(
-            with_k, text="text", key="_k", k=k, bands=bands, shingle_n=shingle_n
-        )
+    stamp = lambda: {"data_seq": cur, "lsh_algo": LSH_ALGO}  # noqa: E731
 
     if not algo_ok:
-        index_table.overwrite(
-            _band(out_table.read(spark)),
-            summary={"data_seq": cur, "lsh_algo": LSH_ALGO},
-        )
+        index_table.overwrite(band_fn(out_table.read(spark)), summary=stamp())
         return
 
     try:
@@ -418,7 +407,7 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
         if index_table.current_seq() is None:
             # first-time index bootstrap against a table whose history
             # already contains non-append commits: band the live set
-            index_table.append(_band(out_table.read(spark)), summary={"data_seq": cur, "lsh_algo": LSH_ALGO})
+            index_table.append(band_fn(out_table.read(spark)), summary=stamp())
             return
         if ops <= {"append", "compact"}:
             # compaction rewrites file LAYOUT but preserves every row, so
@@ -426,23 +415,73 @@ def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
             # not: band only the live rows whose key the index lacks (one
             # anti-join on the narrow key column; for a compact-only
             # range that is zero rows — a metadata-only seq catch-up)
-            live = out_table.read(spark).withColumn(
-                "_k",
-                F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
-            )
+            live, key_col = key_fn(out_table.read(spark))
             unindexed = live.join(
-                index_table.read(spark).select("_k").distinct(), "_k", "left_anti"
+                index_table.read(spark).select(key_col).distinct(),
+                key_col,
+                "left_anti",
             )
-            index_table.append(_band(unindexed), summary={"data_seq": cur, "lsh_algo": LSH_ALGO})
+            index_table.append(band_fn(unindexed), summary=stamp())
             return
         # a row-REMOVING commit (forget-merge, rollback) sits between the
         # covered seq and HEAD — rebuild the index from the live table:
         # one banding pass over the surviving corpus (no text
         # re-extraction), committed as an overwrite so forgotten rows'
         # derived bands drop out of the live index too
-        index_table.overwrite(_band(out_table.read(spark)), summary={"data_seq": cur, "lsh_algo": LSH_ALGO})
+        index_table.overwrite(band_fn(out_table.read(spark)), summary=stamp())
         return
-    index_table.append(_band(rows), summary={"data_seq": cur, "lsh_algo": LSH_ALGO})
+    index_table.append(band_fn(rows), summary=stamp())
+
+
+def _sync_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
+    """Turn-granularity LSH index sync: one (key=_conv#turn_, band,
+    bucket) row per turn per band (see ``_sync_banded_index``)."""
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.dedup import lsh_banded
+
+    def _key(rows):
+        return (
+            rows.withColumn(
+                "_k",
+                F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
+            ),
+            "_k",
+        )
+
+    def _band(rows):
+        with_k = rows.select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("_k"),
+            "text",
+        )
+        return lsh_banded(
+            with_k, text="text", key="_k", k=k, bands=bands, shingle_n=shingle_n
+        )
+
+    _sync_banded_index(spark, out_table, index_table, _band, _key)
+
+
+def _sync_conv_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=2):
+    """CONVERSATION-granularity LSH index sync: whole convs re-assembled
+    in turn order (``conv_text``) and banded — one (conv_id, band,
+    bucket) row per conv per band, a few bytes regardless of
+    conversation length.  A conversation whose turns span increments
+    gets one banding generation per increment (each reflecting that
+    increment's turns) — conservative: extra index rows can only ADD
+    candidates, and the exact Jaccard verify decides."""
+    from table_ocr_spark.operators.conv_scope import conv_text
+    from table_ocr_spark.operators.dedup import lsh_banded
+
+    def _key(rows):
+        return rows, "conv_id"
+
+    def _band(rows):
+        conv = conv_text(rows.select("conv_id", "turn_idx", "text"))
+        return lsh_banded(
+            conv, text="text", key="conv_id", k=k, bands=bands, shingle_n=shingle_n
+        )
+
+    _sync_banded_index(spark, out_table, index_table, _band, _key)
 
 
 def main(argv=None) -> int:
@@ -507,9 +546,10 @@ def main(argv=None) -> int:
         "whole conversations re-assembled in turn order and near-deduped "
         "BEFORE turn-level dedup, so a lightly-edited re-uploaded "
         "conversation drops as a unit instead of fragmenting into orphan "
-        "edited turns.  Applies within one run's input (within the "
-        "increment in --incremental mode; cross-increment conv matching "
-        "is not indexed yet)",
+        "edited turns.  In --incremental mode the increment is ALSO "
+        "checked against the whole history via the persisted "
+        "conv_lsh_index sidecar (one row per conv per band; only the "
+        "increment's conversations are re-assembled and hashed)",
     )
     ap.add_argument(
         "--near-dedup-candidates",
@@ -656,6 +696,69 @@ def main(argv=None) -> int:
         near_dup_rounds=args.near_dedup_rounds,
         conv_near_dup_threshold=args.conv_near_dedup or None,
     )
+    if out_table is not None and args.conv_near_dedup:
+        # cross-increment CONVERSATION near-dedup via a persisted
+        # conv-granularity LSH band index (conv_lsh_index sidecar):
+        # history participates as one (conv_id, band, bucket) row per
+        # conv per band — a few bytes regardless of conversation
+        # length — so each run re-assembles and hashes ONLY the
+        # increment's conversations.  Candidates equi-join the index;
+        # old conv texts are re-assembled for CANDIDATE convs only
+        # (key-pruned semi-join); side-prefixed keys make a re-ingested
+        # conv id verify new-vs-old text, never new-vs-new (the same
+        # self-pair hazard as the turn-level block above).  An increment
+        # conv near-matching history drops whole — the committed
+        # representative wins, rerun-stable.
+        from pyspark import StorageLevel
+        from table_ocr_spark.operators.conv_scope import conv_text
+        from table_ocr_spark.operators.dedup import (
+            lsh_pairs_against,
+            verify_pairs_jaccard,
+        )
+        from table_ocr_spark.sources.snapshots import SnapshotTable
+
+        conv_idx_table = SnapshotTable(os.path.join(args.output, "conv_lsh_index"))
+        _sync_conv_lsh_index(spark, out_table, conv_idx_table)
+        if conv_idx_table.current_seq() is not None:
+            # referenced by the conv re-assembly AND the final anti-join —
+            # uncached, the whole upstream chain executes twice
+            curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
+            conv_new = conv_text(curated.select("conv_id", "turn_idx", "text"))
+            cand = lsh_pairs_against(
+                conv_new,
+                conv_idx_table.read(spark),
+                text="text",
+                key="conv_id",
+                max_bucket_size=args.near_dedup_cap,
+                max_candidates_per_bucket=args.near_dedup_candidates,
+            )
+            old_rows = out_table.read(spark).join(
+                cand.select(F.col("key_old").alias("conv_id")).distinct(),
+                "conv_id",
+                "left_semi",
+            )
+            conv_old = conv_text(old_rows.select("conv_id", "turn_idx", "text"))
+            pairs = verify_pairs_jaccard(
+                cand.select(
+                    F.concat(F.lit("n#"), "key_new").alias("key_a"),
+                    F.concat(F.lit("o#"), "key_old").alias("key_b"),
+                ),
+                conv_new.select(
+                    F.concat(F.lit("n#"), "conv_id").alias("conv_id"), "text"
+                ).unionByName(
+                    conv_old.select(
+                        F.concat(F.lit("o#"), "conv_id").alias("conv_id"), "text"
+                    )
+                ),
+                text="text",
+                key="conv_id",
+                threshold=args.conv_near_dedup,
+            )
+            drop = pairs.select(
+                F.expr("substring(key_a, 3)").alias("conv_id")
+            ).distinct()
+            curated = curated.join(drop, "conv_id", "left_anti")
+
     if out_table is not None and out_table.current_seq() is not None:
         # cross-increment exact dedup: a new row whose content already
         # lives in the curated table is dropped.  The existing output is
@@ -872,6 +975,10 @@ def main(argv=None) -> int:
             # new files, key+text pruned); a crash before this line just
             # leaves the index one seq behind — the next run's sync heals
             _sync_lsh_index(spark, table, SnapshotTable(os.path.join(args.output, "lsh_index")))
+        if args.incremental and args.conv_near_dedup:
+            _sync_conv_lsh_index(
+                spark, table, SnapshotTable(os.path.join(args.output, "conv_lsh_index"))
+            )
         if args.compact_after and len(table.manifest()["files"]) > args.compact_after:
             # conv_id clustering keeps each file a tight key slice, so
             # forget-merges and key-pruned reads touch O(matched files);
@@ -881,6 +988,9 @@ def main(argv=None) -> int:
             idx = SnapshotTable(os.path.join(args.output, "lsh_index"))
             if idx.current_seq() is not None and len(idx.manifest()["files"]) > args.compact_after:
                 summary["compacted_index_seq"] = idx.compact(spark, cluster_by=["_k"])
+            cidx = SnapshotTable(os.path.join(args.output, "conv_lsh_index"))
+            if cidx.current_seq() is not None and len(cidx.manifest()["files"]) > args.compact_after:
+                summary["compacted_conv_index_seq"] = cidx.compact(spark, cluster_by=["conv_id"])
     else:
         (
             curated.write.mode("overwrite")

@@ -68,6 +68,7 @@ def main(argv=None) -> int:
 
     from pyspark.sql import functions as F
 
+    from table_ocr_spark.operators.dedup import LSH_ALGO
     from table_ocr_spark.session import build_session
     from table_ocr_spark.sources.snapshots import SnapshotTable
 
@@ -127,7 +128,19 @@ def main(argv=None) -> int:
             # the whole index it already has
             summary["index_seq"] = idx.merge(
                 spark, ksrc, ["_k"], when_matched="delete",
-                summary={"forget_conv_ids": len(ids), "data_seq": seq},
+                summary={"forget_conv_ids": len(ids), "data_seq": seq,
+                         "lsh_algo": LSH_ALGO},
+            )
+        # the conversation-granularity index (curate --conv-near-dedup)
+        # holds one row per conv per band keyed by conv_id — scrub the
+        # forgotten convs' derived bands the same way
+        cidx = SnapshotTable(os.path.join(args.table, "conv_lsh_index"))
+        if cidx.current_seq() is not None:
+            csrc = spark.createDataFrame([(c,) for c in ids], "conv_id string")
+            summary["conv_index_seq"] = cidx.merge(
+                spark, csrc, ["conv_id"], when_matched="delete",
+                summary={"forget_conv_ids": len(ids), "data_seq": seq,
+                         "lsh_algo": LSH_ALGO},
             )
 
     if args.expire_keep > 0:
@@ -135,6 +148,9 @@ def main(argv=None) -> int:
         idx = SnapshotTable(os.path.join(args.table, "lsh_index"))
         if idx.current_seq() is not None:
             summary["expired_index"] = idx.expire(keep_last=args.expire_keep)
+        cidx = SnapshotTable(os.path.join(args.table, "conv_lsh_index"))
+        if cidx.current_seq() is not None:
+            summary["expired_conv_index"] = cidx.expire(keep_last=args.expire_keep)
         summary["physically_expired"] = True
     else:
         summary["physically_expired"] = False

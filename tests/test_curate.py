@@ -372,6 +372,83 @@ def test_curate_conv_near_dedup_drops_edited_reupload_whole(spark, tmp_path, mon
     }
 
 
+def test_curate_incremental_conv_near_dedup_against_history(spark, tmp_path, monkeypatch):
+    """--incremental --conv-near-dedup: an edited re-upload (NEW conv id)
+    of a conversation curated in an EARLIER increment drops whole via the
+    persisted conv_lsh_index — only the increment's conversations are
+    re-assembled and hashed; history participates as its banded index
+    rows.  Fresh conversations in the same increment land."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def tx(pdf):
+        pdf = pdf.copy()
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    in_root, out_root = str(tmp_path / "in"), str(tmp_path / "out")
+    in_table = SnapshotTable(in_root)
+    batch1 = synth.gen_pandas(5, seed=61, max_long=20)
+    ts = batch1["ts"].iloc[0]
+    turns = [
+        "hello there can you help me plan the quarterly budget review",
+        "sure thing let us start with the revenue assumptions for north",
+        "the northern market doubled sales compared to last fiscal year",
+        "great then allocate more headcount to the northern sales team",
+    ]
+    batch1 = pd.concat([batch1, pd.DataFrame(
+        [{"conv_id": "xcv-orig", "turn_idx": i, "role": "user",
+          "text": t, "tool": "", "ts": ts} for i, t in enumerate(turns)]
+    )], ignore_index=True)
+    in_table.append(tx(batch1))
+    args = ["--input", in_root, "--output", out_root, "--min-quality", "0.0",
+            "--input-snapshot", "--incremental", "--snapshot",
+            "--conv-near-dedup", "0.6"]
+    assert C.main(args) == 0
+    out_table = SnapshotTable(str(tmp_path / "out" / "table"))
+    cidx_table = SnapshotTable(str(tmp_path / "out" / "conv_lsh_index"))
+    assert cidx_table.current_seq() is not None  # index synced post-commit
+    assert cidx_table.history()[-1]["summary"]["data_seq"] == 1
+
+    # batch 2: an edited re-upload of xcv-orig under a NEW conv id (one
+    # turn lightly edited — exact fingerprint anti-join can't fully stop
+    # it, and its unedited turns WOULD fragment without the conv check)
+    edited = list(turns)
+    edited[2] = turns[2] + " roughly speaking"
+    batch2 = synth.gen_pandas(3, seed=67, max_long=20)
+    batch2 = pd.concat([batch2, pd.DataFrame(
+        [{"conv_id": "xcv-reup", "turn_idx": i, "role": "user",
+          "text": t, "tool": "", "ts": ts} for i, t in enumerate(edited)]
+    )], ignore_index=True)
+    in_table.append(tx(batch2))
+    assert C.main(args) == 0
+
+    cur = out_table.read(spark)
+    # the re-upload dropped WHOLE against history (fresh conv id, so only
+    # the conv-index path can catch it); the original stays intact
+    assert cur.filter(F.col("conv_id") == "xcv-reup").count() == 0
+    assert cur.filter(F.col("conv_id") == "xcv-orig").count() == len(turns)
+    # fresh batch-2 conversations landed
+    assert cur.filter(F.col("conv_id").isin(
+        [c for c in batch2["conv_id"].unique() if c != "xcv-reup"])).count() > 0
+    # index advanced to cover the new data seq
+    covered = max(int(h["summary"]["data_seq"]) for h in cidx_table.history()
+                  if "data_seq" in h["summary"])
+    assert covered == out_table.current_seq()
+    # sync is idempotent
+    n = len(cidx_table.history())
+    C._sync_conv_lsh_index(spark, out_table, cidx_table)
+    assert len(cidx_table.history()) == n
+
+
 def test_curate_incremental_concurrent_writer_aborts_cleanly(spark, tmp_path, monkeypatch):
     """Two incremental curate runs racing on the same unprocessed input
     seq: the loser must ABORT (no duplicate increment, no orphan staged
