@@ -378,7 +378,7 @@ def _sync_banded_index(spark, out_table, index_table, band_fn, key_fn):
         return
     covered = 0
     algo_ok = True
-    for h in reversed(index_table.history()):
+    for h in index_table.iter_history_newest_first():
         if "data_seq" in h["summary"]:
             covered = int(h["summary"]["data_seq"])
             algo_ok = h["summary"].get("lsh_algo") == LSH_ALGO
@@ -637,7 +637,7 @@ def main(argv=None) -> int:
             # inspects commits newer than it.
             after_seq = 0
             after_seq_base = out_table.current_seq() or 0
-            for h in reversed(out_table.history()):
+            for h in out_table.iter_history_newest_first():
                 if "input_seq_processed" in h["summary"]:
                     after_seq = int(h["summary"]["input_seq_processed"])
                     break
@@ -927,7 +927,7 @@ def main(argv=None) -> int:
             # when a commit newer than our resume base already records
             # input_seq_processed >= our input seq.
             def _guard_concurrent_increment():
-                for h in reversed(out_table.history()):
+                for h in out_table.iter_history_newest_first():
                     if h["seq"] <= after_seq_base:
                         break
                     s = h["summary"]

@@ -102,7 +102,7 @@ def main(argv=None) -> int:
     # whole input and RESURRECTING the just-forgotten conversations
     # (their fingerprints are gone, so the anti-join can't stop them)
     resume = {}
-    for h in reversed(data.history()):
+    for h in data.iter_history_newest_first():
         if "input_seq_processed" in h["summary"]:
             resume["input_seq_processed"] = h["summary"]["input_seq_processed"]
             break

@@ -171,7 +171,7 @@ def main(argv=None) -> int:
         obs_out,
         F.count(F.lit(1)).alias("rows_out"),
         F.sum("n_tokens").alias("tokens_out"),
-        F.max("seq_id").alias("max_seq_id_per_bucket"),
+        F.max("seq_id").alias("max_seq_id"),
     )
 
     # one file per bucket, rows in pack order: pack_sequences already
@@ -206,7 +206,7 @@ def main(argv=None) -> int:
         **_get(obs_in, {"rows_in": 0}),
         **_get(
             obs_out,
-            {"rows_out": 0, "tokens_out": 0, "max_seq_id_per_bucket": None},
+            {"rows_out": 0, "tokens_out": 0, "max_seq_id": None},
         ),
         "wall_ms": int((time.time() - t0) * 1000),
     }

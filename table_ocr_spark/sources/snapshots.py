@@ -229,27 +229,39 @@ class SnapshotTable:
             return json.load(f)
 
     def history(self) -> List[dict]:
-        """Commit log, oldest first: seq/operation/summary/file+row counts."""
+        """Commit log, oldest first: seq/operation/summary/file+row counts.
+
+        Parses EVERY manifest — O(total history bytes); an audit/debug
+        surface.  Hot paths that scan newest-first and stop at the first
+        match (resume markers, index coverage, the concurrent-increment
+        guard) must use ``iter_history_newest_first`` instead: at the
+        200k-file design point each manifest is ~38 MB of JSON
+        (BENCH/SNAPSHOT_SCALE.md), so a full walk per incremental run
+        grows linearly with table age while the lazy walk stays O(1-2
+        manifests) in steady state."""
+        return list(reversed(list(self.iter_history_newest_first())))
+
+    def iter_history_newest_first(self):
+        """Lazy commit-log walk, newest first; expired seqs skipped.
+        Yields the same dict shape as ``history()`` rows, parsing one
+        manifest per step — early-breaking consumers touch only the
+        manifests they actually inspect."""
         cur = self.current_seq()
         if cur is None:
-            return []
-        out = []
-        for seq in range(1, cur + 1):
+            return
+        for seq in range(cur, 0, -1):
             try:
                 m = self.manifest(seq)
             except ValueError:
                 continue  # expired
-            out.append(
-                {
-                    "seq": m["seq"],
-                    "parent_seq": m["parent_seq"],
-                    "operation": m["operation"],
-                    "summary": m.get("summary", {}),
-                    "n_files": len(m["files"]),
-                    "rows": sum(f["rows"] for f in m["files"]),
-                }
-            )
-        return out
+            yield {
+                "seq": m["seq"],
+                "parent_seq": m["parent_seq"],
+                "operation": m["operation"],
+                "summary": m.get("summary", {}),
+                "n_files": len(m["files"]),
+                "rows": sum(f["rows"] for f in m["files"]),
+            }
 
     # ----------------------------------------------------------------- commit
 

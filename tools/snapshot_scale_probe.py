@@ -106,6 +106,13 @@ def main() -> int:
     res["history_s"] = round(time.time() - t0, 3)
     res["history_commits"] = len(h)
 
+    # 8. lazy newest-first walk to the first match — the resume-marker /
+    #    index-coverage / concurrent-guard shape (jobs/curate.py,
+    #    jobs/forget.py): parses ONE manifest however old the table is
+    t0 = time.time()
+    next(t.iter_history_newest_first())
+    res["resume_walk_s"] = round(time.time() - t0, 3)
+
     print(json.dumps(res))
     shutil.rmtree(ROOT, ignore_errors=True)
     return 0
