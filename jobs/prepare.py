@@ -122,6 +122,14 @@ def main(argv=None) -> int:
         help="pack buckets == output shards (sequences never span buckets)",
     )
     ap.add_argument("--salt", default="", help="epoch salt: rotates the global order")
+    ap.add_argument(
+        "--input-seq",
+        type=int,
+        default=0,
+        help="snapshot seq to read (0 = HEAD; requires --input-snapshot): "
+        "pin it to re-produce the exact shards of an earlier run even "
+        "after the curated table has moved on (time travel)",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -149,8 +157,10 @@ def main(argv=None) -> int:
         table = SnapshotTable(os.path.join(args.input, "table"))
         if table.current_seq() is None:
             raise SystemExit(f"input snapshot table at {args.input} is empty")
-        src = table.read(spark)
+        src = table.read(spark, seq=args.input_seq or None)
     else:
+        if args.input_seq:
+            raise SystemExit("--input-seq requires --input-snapshot")
         src = spark.read.parquet(os.path.join(args.input, "data"))
     if args.split:
         src = src.filter(F.col("split") == args.split)

@@ -189,3 +189,30 @@ def test_prepare_reads_curate_snapshot_output(spark, tmp_path, monkeypatch):
     assert s["rows_out"] > 0
     got = spark.read.parquet(os.path.join(prepared, "shards")).count()
     assert got == s["rows_out"]
+
+    # time travel: append more input, re-curate, then re-prep PINNED to
+    # snapshot seq 1 — shards must reproduce the first run exactly even
+    # though the table head has moved
+    write_transcripts_parquet(synth.gen_pandas(4, seed=9, max_long=30), str(tmp_path / "in2"))
+    assert (
+        C.main(["--input", str(tmp_path / "in2"), "--output", curated, "--snapshot"]) == 0
+    )
+    pinned = str(tmp_path / "pinned")
+    assert (
+        P.main(
+            ["--input", curated, "--input-snapshot", "--output", pinned,
+             "--input-seq", "1", "--budget", "128", "--buckets", "4"]
+        )
+        == 0
+    )
+    assert _shard_digest(pinned) == _shard_digest(prepared)
+    # and an unpinned re-prep sees the moved head (different corpus)
+    head = str(tmp_path / "head")
+    assert (
+        P.main(
+            ["--input", curated, "--input-snapshot", "--output", head,
+             "--budget", "128", "--buckets", "4"]
+        )
+        == 0
+    )
+    assert _shard_digest(head) != _shard_digest(prepared)
