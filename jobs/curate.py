@@ -96,7 +96,13 @@ def build_curated(
     near_dup_rounds: int = 2,
     conv_near_dup_threshold: float | None = None,
 ):
-    """transcripts → curated per-turn records (pure plan builder, no I/O).
+    """transcripts → curated per-turn records.
+
+    Mostly a pure plan builder; the near-dedup stages are the exception —
+    their connected-components loops run eager checkpoints, and each is
+    preceded by one clean materializing pass (``conv.count()`` /
+    ``with_k.count()``) that completes upstream Observations before AQE's
+    empty-relation fold can null them (see the in-line notes).
 
     ``persist_extracted``: the boilerplate strip's linehash plan reads its
     input TWICE (once to count line hashes, once to apply the banned
@@ -723,7 +729,12 @@ def main(argv=None) -> int:
             # referenced by the conv re-assembly AND the final anti-join —
             # uncached, the whole upstream chain executes twice
             curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
-            conv_new = conv_text(curated.select("conv_id", "turn_idx", "text"))
+            # conv_new is itself referenced twice (LSH banding + the
+            # verify text side) — persist, or the collect-per-conv
+            # aggregation runs twice even over the cached curated frame
+            conv_new = conv_text(
+                curated.select("conv_id", "turn_idx", "text")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             cand = lsh_pairs_against(
                 conv_new,
                 conv_idx_table.read(spark),

@@ -451,6 +451,7 @@ class SnapshotTable:
                 if all(theirs.get(n) == t for n, t in ours.items()):
                     commit_schema = base_schema
                 else:
+                    _unstage()
                     raise CommitConflict(
                         f"append staged schema is incompatible with the "
                         f"table's current schema at {self.root} (concurrent "
