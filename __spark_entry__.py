@@ -990,6 +990,30 @@ def q_conv_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(pairs, conv, text="text", key="conv_id", threshold=0.6)
 
 
+def q_corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level boilerplate removal (the C4/Dolma rule; NEW r6): a
+    platform footer injected into EVERY doc — once per doc, so the
+    conversation-scoped strip can never see it — must vanish from all of
+    them, while each doc's own two-word line survives unless that exact
+    line happens to occur in ≥ 3 docs (the oracle computes the identical
+    document-frequency cut, so shared word lines are exercised too)."""
+    from table_ocr_spark.operators.conv_scope import strip_corpus_boilerplate
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("SENT FROM MY PLATFORM\n"),
+            F.element_at(toks, 1),
+            F.lit(" "),
+            F.element_at(toks, 2),
+        ).alias("text"),
+    )
+    out = strip_corpus_boilerplate(docs, key_cols=("doc_id",), min_df=3)
+    return out.select("doc_id", "text_stripped", "n_banned_lines")
+
+
 def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-scoped boilerplate removal (applyInPandas whole-conv
     stage): the banner repeated in 5/5 turns must vanish.
@@ -1909,6 +1933,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_stats": q_media_mp4_stats,
         # ---- conversation scope (2) ----
         "conv_boilerplate_strip": q_conv_boilerplate_strip,
+        "corpus_boilerplate_strip": q_corpus_boilerplate_strip,  # NEW r6: C4-style corpus-wide line ban
         "conv_boilerplate_strip_stateful": q_conv_boilerplate_strip_stateful,
         # ---- events / windows / as-of (4) ----
         "events_windowed": q_events_windowed,
@@ -2597,6 +2622,22 @@ def oracle_sql() -> dict[str, str]:
             "ON a.conv_id = p.key_a "
             "JOIN (SELECT conv_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sb FROM convs) b "
             "ON b.conv_id = p.key_b) _v WHERE round(jac, 6) >= 0.6"
+        ),
+        "corpus_boilerplate_strip": (
+            # the identical document-frequency cut: per-doc DISTINCT
+            # trimmed lines, banned at df >= 3, blank lines always kept
+            "WITH docs2 AS (SELECT doc_id, 'SENT FROM MY PLATFORM' || chr(10) || "
+            f"{_SQL_TOKS}[1] || ' ' || {_SQL_TOKS}[2] AS text FROM documents), "
+            "dl AS (SELECT DISTINCT doc_id, trim(l) AS ln FROM docs2, "
+            "unnest(string_split(text, chr(10))) AS _u(l) WHERE trim(l) != ''), "
+            "banned AS (SELECT ln FROM (SELECT ln, count(*) AS c FROM dl GROUP BY ln) _c WHERE c >= 3), "
+            "b AS (SELECT coalesce(list(ln), []::VARCHAR[]) AS bl FROM banned), "
+            "nb AS (SELECT doc_id, count(*) AS n FROM dl JOIN banned USING (ln) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "coalesce(array_to_string(list_filter(string_split(d.text, chr(10)), "
+            "l -> trim(l) = '' OR NOT list_contains(b.bl, trim(l))), chr(10)), '') AS text_stripped, "
+            "coalesce(nb.n, 0)::INT AS n_banned_lines "
+            "FROM docs2 d CROSS JOIN b LEFT JOIN nb ON nb.doc_id = d.doc_id"
         ),
         "conv_boilerplate_strip": (
             # the banner repeats in 5/5 turns → banned; each word-<t> line is

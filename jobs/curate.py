@@ -95,6 +95,7 @@ def build_curated(
     near_dup_mode: str = "star",
     near_dup_rounds: int = 2,
     conv_near_dup_threshold: float | None = None,
+    corpus_strip_min_df: int | None = None,
 ):
     """transcripts → curated per-turn records.
 
@@ -137,6 +138,22 @@ def build_curated(
     stripped = strip_conv_boilerplate(strip_in, ratio=strip_ratio).withColumnRenamed(
         "text_stripped", "text"
     )
+    if corpus_strip_min_df:
+        # CORPUS-scope boilerplate after the conv scope: a banner in
+        # every conversation but only once per conversation is invisible
+        # to the conv strip (operators/conv_scope.strip_corpus_boilerplate).
+        from table_ocr_spark.operators.conv_scope import strip_corpus_boilerplate
+
+        if persist_extracted:
+            # the corpus strip reads its input twice (line-hash pass +
+            # the final text join) — persist or the conv-strip UDF chain
+            # above executes twice
+            stripped = stripped.persist(StorageLevel.MEMORY_AND_DISK)
+        stripped = strip_corpus_boilerplate(
+            stripped.select("conv_id", "turn_idx", "text"),
+            min_df=corpus_strip_min_df,
+            persist_hashes=persist_extracted,
+        ).withColumnRenamed("text_stripped", "text").drop("n_banned_lines")
 
     # NB: stats/fingerprint are computed on the PRE-redaction text (one
     # select → each expression binds the input column once; a separate
@@ -558,6 +575,17 @@ def main(argv=None) -> int:
         "increment's conversations are re-assembled and hashed)",
     )
     ap.add_argument(
+        "--strip-corpus-min-df",
+        type=int,
+        default=0,
+        help="CORPUS-level boilerplate strip (0 = off): any line present "
+        "in >= N distinct turns across the whole input is removed "
+        "everywhere (the C4 rule) - catches banners that appear once per "
+        "conversation but in every conversation, which the conv-scoped "
+        "strip cannot see.  Applies to this run's input (the increment "
+        "in --incremental mode)",
+    )
+    ap.add_argument(
         "--near-dedup-candidates",
         type=int,
         default=32,
@@ -701,6 +729,7 @@ def main(argv=None) -> int:
         near_dup_mode=args.near_dedup_mode,
         near_dup_rounds=args.near_dedup_rounds,
         conv_near_dup_threshold=args.conv_near_dedup or None,
+        corpus_strip_min_df=args.strip_corpus_min_df or None,
     )
     if out_table is not None and args.conv_near_dedup:
         # cross-increment CONVERSATION near-dedup via a persisted

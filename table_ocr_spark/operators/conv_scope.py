@@ -178,6 +178,71 @@ def _strip_linehash(
     )
 
 
+def strip_corpus_boilerplate(
+    df: DataFrame,
+    text: str = "text",
+    key_cols: tuple = ("conv_id", "turn_idx"),
+    min_df: int = 3,
+    persist_hashes: bool = True,
+) -> DataFrame:
+    """CORPUS-level boilerplate line removal (the C4/Dolma rule): any
+    trimmed line present in ≥ ``min_df`` distinct documents is removed
+    from every document.
+
+    This is the third scope of the same operator family: per-payload
+    running-line strip (functions/layout), per-CONVERSATION strip
+    (``strip_conv_boilerplate`` — a line repeated across one conv's
+    turns), and this corpus scope — a banner appearing ONCE per
+    conversation but in every conversation is invisible to both
+    narrower scopes and is exactly what this catches (cookie notices,
+    client signatures, platform footers).
+
+    Output: ``key_cols`` + ``text_stripped`` + ``n_banned_lines`` (count
+    of corpus-banned distinct lines present in that document).
+
+    Scale shape (the ``linehash`` pattern, corpus-wide): per-doc
+    DISTINCT line hashes are a map-side projection; only (key, hash)
+    rows ever shuffle — once for the document-frequency count (map-side
+    combined) and once to intersect each doc's hashes with the banned
+    set (semi-join on the hash, then a narrow per-doc collect_set) —
+    the full text never moves, and the strip is a second map-side pass.
+    The banned set is never materialized driver-side or broadcast whole
+    (corpus-wide it can be millions of lines); each document only ever
+    carries ITS OWN banned intersection.  ``persist_hashes`` caches the
+    one Python-UDF projection that both aggregation branches read."""
+    from pyspark import StorageLevel
+
+    keys = list(key_cols)
+    src = df
+    hashes = src.select(*keys, _line_hashes_udf(text).alias("lh"))
+    if persist_hashes:
+        # referenced by the doc-frequency count AND the per-doc banned
+        # intersection — uncached, the line-hash UDF pass runs twice
+        hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = hashes.select(*keys, F.explode("lh").alias("h"))
+    # lh is per-doc DISTINCT, so count(1) per hash IS document frequency
+    banned = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("h")
+    )
+    doc_banned = (
+        exploded.join(banned, "h", "left_semi")
+        .groupBy(*keys)
+        .agg(F.collect_set("h").alias("_banned"))
+    )
+    joined = src.join(doc_banned, keys, "left")
+    return joined.select(
+        *keys,
+        _strip_banned_udf(text, "_banned").alias("text_stripped"),
+        F.when(F.col("_banned").isNull(), F.lit(0))
+        .otherwise(F.size("_banned"))
+        .cast("int")
+        .alias("n_banned_lines"),
+    )
+
+
 def conv_metrics(extracted: DataFrame) -> DataFrame:
     """Per-conversation rollup of extraction output (pure groupBy — the
     partial-aggregated two-stage plan; no Python)."""

@@ -139,3 +139,32 @@ def test_conv_text_order_and_partition_invariant(spark):
     # conv-level dedup: a and b collapse; c (same turns, other order) survives
     dups = exact_duplicates(conv_text(df), "text", "conv_id").collect()
     assert len(dups) == 1 and dups[0].n_dups == 2 and dups[0].min_key == "a"
+
+
+def test_strip_corpus_boilerplate_bans_by_document_frequency(spark):
+    """The C4 rule: a line in >= min_df distinct docs is removed from all
+    of them; rarer lines survive; blank lines are kept; a fully-banned
+    doc strips to ''. Banner-once-per-conversation is the case the conv
+    scope cannot see."""
+    from table_ocr_spark.operators.conv_scope import strip_corpus_boilerplate
+
+    footer = "SENT FROM MY PLATFORM"
+    rows = [
+        ("c1", 0, f"{footer}\nunique alpha line"),
+        ("c2", 0, f"{footer}\n\nshared beta line"),
+        ("c3", 0, f"shared beta line\n{footer}"),
+        ("c4", 0, "shared beta line"),      # 3rd doc with the beta line
+        ("c5", 0, footer),                   # fully banned -> ''
+        ("c6", 0, "rare gamma line\nrare delta line"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {
+        (r.conv_id): (r.text_stripped, r.n_banned_lines)
+        for r in strip_corpus_boilerplate(df, min_df=3).collect()
+    }
+    assert out["c1"] == ("unique alpha line", 1)
+    assert out["c2"] == ("", 2)          # footer + beta banned; blank line...
+    assert out["c3"] == ("", 2)
+    assert out["c4"] == ("", 1)
+    assert out["c5"] == ("", 1)
+    assert out["c6"] == ("rare gamma line\nrare delta line", 0)

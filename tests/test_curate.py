@@ -894,3 +894,45 @@ def test_curate_incremental_reingest_rewritten_turn_not_self_dropped(spark, tmp_
     # both versions live (different fingerprints, similarity below J):
     # the rewritten re-ingest was NOT self-dropped
     assert ri.count() == 2
+
+
+def test_curate_strip_corpus_min_df(spark, tmp_path, monkeypatch):
+    """--strip-corpus-min-df removes a banner present once per
+    conversation but in every conversation — invisible to the
+    conversation-scoped strip, which requires repetition WITHIN a conv."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.catalog import write_transcripts_parquet
+
+    import jobs.curate as C
+
+    pdf = synth.gen_pandas(6, seed=17, max_long=10)
+    banner = "Powered by ExampleChat Cloud"
+    # one banner TURN per conversation (appended last): extraction
+    # passes a plain line through verbatim, so the corpus sees the
+    # identical trimmed line once per conv — in every conv
+    extra = (
+        pdf.groupby("conv_id", as_index=False)
+        .agg({"turn_idx": "max", "ts": "max"})
+        .assign(turn_idx=lambda d: d["turn_idx"] + 1, role="assistant",
+                text=lambda d: banner + "\nunique closing words for " + d["conv_id"],
+                tool="")
+    )
+    pdf = pd.concat([pdf, extra[pdf.columns]], ignore_index=True)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    write_transcripts_parquet(pdf, str(tmp_path / "in"))
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    common = ["--input", str(tmp_path / "in"), "--min-quality", "0.0"]
+
+    assert C.main(common + ["--output", str(tmp_path / "plain")]) == 0
+    plain = spark.read.parquet(str(tmp_path / "plain" / "data"))
+    # conv strip can't see it: once per conv, not repeated across turns
+    assert plain.filter(F.col("text").contains(banner)).count() > 0
+
+    assert C.main(common + ["--output", str(tmp_path / "cs"),
+                            "--strip-corpus-min-df", "3"]) == 0
+    cs = spark.read.parquet(str(tmp_path / "cs" / "data"))
+    assert cs.filter(F.col("text").contains(banner)).count() == 0
+    # non-banner content is untouched (same rows, banner line removed)
+    assert cs.count() == plain.count()
