@@ -50,9 +50,14 @@ def classify_mode(text: str, cfg: ExtractorConfig) -> str:
         return cfg.mode
     if markup.looks_like_html(text):
         return MODE_EXPLICIT
-    md_candidates = sum(1 for ln in text.split("\n") if markup._is_md_candidate(ln))
-    if md_candidates >= cfg.sep_min_run:
-        return MODE_EXPLICIT
+    # early-exit count: only "reached sep_min_run?" matters, so stop
+    # scanning lines at the threshold (value-identical decision)
+    md_candidates = 0
+    for ln in text.split("\n"):
+        if ln.count("|") >= 2:  # == markup._is_md_candidate, inlined
+            md_candidates += 1
+            if md_candidates >= cfg.sep_min_run:
+                return MODE_EXPLICIT
     if layout.looks_like_layout(text, cfg):
         return MODE_HEURISTIC
     return MODE_PASSTHROUGH

@@ -47,6 +47,20 @@ Span = Tuple[int, int, int, int, float]  # (row, col, start, end, conf)
 _TOKEN_RE = re.compile(r"\S+")
 _MULTI_GAP_RE = re.compile(r"\S(?:  +)\S")
 
+# fused-box patterns per gap width: one regex match per FUSED box replaces
+# the per-token Python fusion loop (``\s{1,g}`` between tokens — lines
+# contain no newline, so this is exactly "≤ g whitespace chars between
+# adjacent tokens", the Dilate fusion rule)
+_FUSED_RE_CACHE: dict = {}
+
+
+def _fused_re(gap: int):
+    pat = _FUSED_RE_CACHE.get(gap)
+    if pat is None:
+        pat = re.compile(rf"\S+(?:\s{{1,{gap}}}\S+)*" if gap > 0 else r"\S+")
+        _FUSED_RE_CACHE[gap] = pat
+    return pat
+
 
 def strip_running_lines(pages: List[List[str]], cfg: ExtractorConfig) -> List[List[str]]:
     """Remove running headers/footers repeated across pages.
@@ -85,14 +99,12 @@ def token_boxes(
         hit = _cache.get(line)
         if hit is not None:
             return hit
-    boxes: List[Tuple[int, int]] = []
-    for m in _TOKEN_RE.finditer(line):
-        s, e = m.start(), m.end()
-        if boxes and s - boxes[-1][1] <= cfg.fuse_token_gap:
-            boxes[-1] = (boxes[-1][0], e)  # Dilate fusion
-        else:
-            boxes.append((s, e))
-    out = [(s, e) for s, e in boxes if cfg.min_token_len <= e - s <= cfg.max_token_len]
+    lo, hi = cfg.min_token_len, cfg.max_token_len
+    out = [
+        (s, e)
+        for s, e in ((m.start(), m.end()) for m in _fused_re(cfg.fuse_token_gap).finditer(line))
+        if lo <= e - s <= hi
+    ]
     if _cache is not None:
         _cache[line] = out
     return out
@@ -100,9 +112,10 @@ def token_boxes(
 
 def is_table_line(line: str, cfg: ExtractorConfig, _cache: dict | None = None) -> bool:
     """A line participates in a fixed-width grid when it has ≥ min_columns
-    fused boxes separated by multi-space gaps."""
-    boxes = token_boxes(line, cfg, _cache)
-    return len(boxes) >= cfg.min_columns and bool(_MULTI_GAP_RE.search(line))
+    fused boxes separated by multi-space gaps.  (The multi-gap test runs
+    first: it is one C regex scan and rejects most prose lines before the
+    tokenize — both tests are pure, so the order is value-free.)"""
+    return bool(_MULTI_GAP_RE.search(line)) and len(token_boxes(line, cfg, _cache)) >= cfg.min_columns
 
 
 def find_layout_regions(
@@ -158,32 +171,50 @@ def vote_column_intervals(
     if not table_lines:
         return []
     width = max(len(ln) for ln in table_lines)
-    occ = np.zeros((len(table_lines), width), dtype=bool)  # True = non-space
-    for i, ln in enumerate(table_lines):
-        arr = np.frombuffer(ln.ljust(width).encode("utf-8", "replace")[:width], dtype=np.uint8)
-        # non-ascii multi-byte chars inflate the buffer; fall back per-char
-        if len(ln.ljust(width).encode("utf-8")) != width:
-            arr = np.fromiter((0x20 if c == " " else 0x41 for c in ln.ljust(width)), dtype=np.uint8, count=width)
-        occ[i] = arr != 0x20
-    votes = occ.mean(axis=0)  # fraction of lines with content at this column
+    n_lines = len(table_lines)
+    joined = "".join(ln.ljust(width) for ln in table_lines)
+    buf = joined.encode("utf-8", "replace")
+    if len(buf) == n_lines * width:
+        # all-ASCII fast path (one encode + one reshape for the whole
+        # region instead of a numpy round-trip per line)
+        occ = np.frombuffer(buf, dtype=np.uint8).reshape(n_lines, width) != 0x20
+    else:
+        occ = np.zeros((n_lines, width), dtype=bool)  # True = non-space
+        for i, ln in enumerate(table_lines):
+            lj = ln.ljust(width)
+            b = lj.encode("utf-8", "replace")
+            # non-ascii multi-byte chars inflate the buffer; fall back
+            # per-char (one encode — its length says if the row is ASCII)
+            if len(b) == width:
+                arr = np.frombuffer(b, dtype=np.uint8)
+            else:
+                arr = np.fromiter((0x20 if c == " " else 0x41 for c in lj), dtype=np.uint8, count=width)
+            occ[i] = arr != 0x20
+    # fraction of lines with content at this column: exact integer counts
+    # divided once (same float64 value as occ.mean, count_nonzero is faster)
+    votes = np.count_nonzero(occ, axis=0) / n_lines
     is_sep = votes <= (1.0 - cfg.sep_threshold)
 
-    # separator runs ≥ min_gap_width → gaps; intervals between gaps = columns
+    # separator runs ≥ min_gap_width → gaps; intervals between gaps =
+    # columns.  Run boundaries via one diff pass instead of a Python loop
+    # over every char column; a run touching the RIGHT edge is never
+    # closed by a non-sep column, so (as in the loop form) it stays part
+    # of the final interval.
     intervals: List[Tuple[int, int]] = []
     col_start = 0
-    run_start = None
-    for c in range(width):
-        if is_sep[c]:
-            if run_start is None:
-                run_start = c
-        else:
-            if run_start is not None and c - run_start >= cfg.min_gap_width:
-                if run_start > col_start:
-                    intervals.append((col_start, run_start))
-                col_start = c
-            elif run_start is not None:
-                pass  # too-narrow gap: stays inside the cell
-            run_start = None
+    padded = np.empty(width + 2, dtype=np.int8)
+    padded[0] = padded[-1] = 0
+    np.copyto(padded[1:-1], is_sep, casting="unsafe")
+    d = np.diff(padded)
+    run_starts = np.flatnonzero(d == 1)
+    run_ends = np.flatnonzero(d == -1)
+    for rs, re_ in zip(run_starts.tolist(), run_ends.tolist()):
+        if re_ >= width:
+            break  # trailing run: folded into the final interval below
+        if re_ - rs >= cfg.min_gap_width:
+            if rs > col_start:
+                intervals.append((col_start, rs))
+            col_start = re_
     if col_start < width:
         intervals.append((col_start, width))
     return intervals
@@ -249,18 +280,24 @@ def extract_layout(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]
         page_lines[pg].append(ln)
     kept_pages = strip_running_lines(page_lines, cfg)
 
-    # map kept lines back to their global ids (order preserved within a page)
-    lines: List[str] = []
-    line_offs: List[int] = []
-    cursors = [0] * n_pages
-    kept_iters = [list(p) for p in kept_pages]
-    for idx, (ln, pg) in enumerate(zip(all_lines, page_of)):
-        ki = kept_iters[pg]
-        ci = cursors[pg]
-        if ci < len(ki) and ki[ci] == ln:
-            lines.append(ln)
-            line_offs.append(all_offs[idx])
-            cursors[pg] = ci + 1
+    if kept_pages is page_lines:
+        # strip_running_lines returned its input unchanged (no running
+        # header/footer found — the common case): skip the remap loop
+        lines: List[str] = all_lines
+        line_offs: List[int] = all_offs
+    else:
+        # map kept lines back to their global ids (order preserved within a page)
+        lines = []
+        line_offs = []
+        cursors = [0] * n_pages
+        kept_iters = [list(p) for p in kept_pages]
+        for idx, (ln, pg) in enumerate(zip(all_lines, page_of)):
+            ki = kept_iters[pg]
+            ci = cursors[pg]
+            if ci < len(ki) and ki[ci] == ln:
+                lines.append(ln)
+                line_offs.append(all_offs[idx])
+                cursors[pg] = ci + 1
 
     box_cache: dict = {}
     flags = [is_table_line(ln, cfg, box_cache) for ln in lines]

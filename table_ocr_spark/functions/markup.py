@@ -72,8 +72,11 @@ def _trim_cell(raw: str, start: int, trim: int) -> Tuple[str, int, int]:
     else:  # degenerate: trimming would invert the interval — relax to full
         inner = raw
         inner_off = 0
-    lead = len(inner) - len(inner.lstrip())
     stripped = inner.strip()
+    # CPython returns the SAME object when nothing was stripped; the `is`
+    # test then skips the lstrip. Pure fast path — if an implementation
+    # copies instead, the slow branch computes the identical value.
+    lead = 0 if stripped is inner else len(inner) - len(inner.lstrip())
     abs_start = start + inner_off + lead
     return stripped, abs_start, abs_start + len(stripped)
 
@@ -134,6 +137,9 @@ def extract_html(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]],
 # ------------------------------------------------------------ markdown ----
 
 _MD_RULE_CELL_RE = re.compile(r"^\s*:?-{2,}:?\s*$")
+# a rule line consists solely of pipes, dashes, colons and whitespace: any
+# other char lands in some kept segment and fails _MD_RULE_CELL_RE
+_RULE_CHARSET_RE = re.compile(r"[\s|:-]*\Z")
 
 
 def _is_md_candidate(line: str) -> bool:
@@ -141,6 +147,12 @@ def _is_md_candidate(line: str) -> bool:
 
 
 def _is_md_rule(line: str) -> bool:
+    # fast rejects (value-identical): no dash, or any char outside the
+    # rule alphabet → cannot be a rule; skips the full pipe-split for the
+    # common content row (profiled: _is_md_rule ran _split_pipe_row once
+    # per candidate line on top of the row's own split)
+    if "-" not in line or _RULE_CHARSET_RE.match(line) is None:
+        return False
     segs = _split_pipe_row(line)
     return len(segs) >= 1 and all(_MD_RULE_CELL_RE.match(s or "-") for s, _ in segs) and "-" in line
 
@@ -213,6 +225,12 @@ def find_md_regions(lines: List[str], cfg: ExtractorConfig) -> List[Tuple[int, i
 def extract_markdown(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[str]], List[Span]]:
     """Extract markdown pipe tables. Returns (clean_text, cells, spans)."""
     lines = text.split("\n")
+    regions = find_md_regions(lines, cfg)
+    if not regions:
+        # no table region: every line is kept verbatim, so the output is
+        # the input (split/join roundtrip identity) with no cells/spans —
+        # skip the offsets build and the per-line loop
+        return text, [], []
     # char offset of each line start in the payload
     offsets: List[int] = []
     pos = 0
@@ -221,7 +239,6 @@ def extract_markdown(text: str, cfg: ExtractorConfig) -> Tuple[str, List[List[st
         pos += len(ln) + 1
 
     recognize = get_recognizer(cfg.recognizer)
-    regions = find_md_regions(lines, cfg)
     in_table = [False] * len(lines)
     for a, b in regions:
         for k in range(a, b):

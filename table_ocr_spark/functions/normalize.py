@@ -46,7 +46,15 @@ def collapse_ws(text: str) -> str:
     Used on extracted clean text, never on the payload itself (would destroy
     the fixed-width column offsets the heuristic mode depends on).
     """
-    lines = [_WS_RUN_RE.sub(" ", ln).strip() for ln in text.split("\n")]
+    # ``[ \t]+`` only rewrites a line containing a tab or a double space;
+    # guarding with two C-speed scans skips the regex rebuild for the
+    # common already-collapsed line (value-identical — a single space
+    # "collapses" to itself)
+    lines = [
+        (_WS_RUN_RE.sub(" ", ln) if "\t" in ln or "  " in ln else ln).strip()
+        for ln in text.split("\n")
+    ]
     out = "\n".join(lines)
-    out = _BLANK_RUN_RE.sub("\n\n", out)
+    if "\n\n\n" in out:
+        out = _BLANK_RUN_RE.sub("\n\n", out)
     return out.strip()

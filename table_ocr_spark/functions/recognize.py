@@ -27,36 +27,54 @@ Recognized = Tuple[str, float]
 
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
+# matches iff _WS_RE.sub(" ", s) would change s: any whitespace char that
+# is not a plain space, or a run of 2+ spaces
+_WS_FIX_RE = re.compile(r"[^\S ]| {2,}")
 _NON_PLAIN_RE = re.compile(r"[^A-Za-z0-9 ]")
+# translate table deleting exactly the plain class [A-Za-z0-9 ]: len(text
+# minus plain chars) == len(_NON_PLAIN_RE.findall(text)) with no list
+# allocation (confidence runs once per CELL — profiled at ~6% of the
+# whole extraction kernel as the regex findall)
+_PLAIN_DEL = str.maketrans(
+    "", "", "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+)
 
 
 def cleanup_text(fragment: str) -> str:
     """Tags → space, entity-decode, collapse whitespace runs, trim.
     Also the document-level cleaner for the explicit-markup mode.
 
-    Fast path: without '<' the tag regex is identity and without '&' the
+    Fast paths: without '<' the tag regex is identity and without '&' the
     entity decode is identity, so both passes are skipped for the common
-    plain cell (exact-equality-preserving; the per-cell call volume makes
-    this ~10% of whole-kernel time)."""
+    plain cell; and when every whitespace run is already a single space
+    (no non-space whitespace, no double space — one guard scan) the
+    ``\\s+`` collapse is the identity too, so the sub's rebuild of the
+    string is skipped (exact-equality-preserving; the per-cell call
+    volume makes these the kernel's hottest lines)."""
     if "<" in fragment or "&" in fragment:
         out = _TAG_RE.sub(" ", fragment)
         out = _html.unescape(out)
-    else:
-        out = fragment
-    return _WS_RE.sub(" ", out).strip()
+        return _WS_RE.sub(" ", out).strip()
+    if _WS_FIX_RE.search(fragment) is None:
+        return fragment.strip()
+    return _WS_RE.sub(" ", fragment).strip()
 
 
 def confidence(text: str) -> float:
     """Plain-character fraction of the recognized text; 0.0 for empty."""
     if not text:
         return 0.0
-    return 1.0 - len(_NON_PLAIN_RE.findall(text)) / len(text)
+    return 1.0 - len(text.translate(_PLAIN_DEL)) / len(text)
 
 
 def recognize_cleanup(raw: str) -> Recognized:
-    """Default recognizer: markup/entity cleanup + plain-char confidence."""
+    """Default recognizer: markup/entity cleanup + plain-char confidence.
+    (``confidence`` inlined — this runs once per cell, and the extra
+    call frame was measurable at the kernel's cell volume.)"""
     text = cleanup_text(raw)
-    return text, confidence(text)
+    if not text:
+        return text, 0.0
+    return text, 1.0 - len(text.translate(_PLAIN_DEL)) / len(text)
 
 
 def recognize_identity(raw: str) -> Recognized:

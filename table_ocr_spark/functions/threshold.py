@@ -50,15 +50,28 @@ def otsu_threshold(values: Sequence[float], bins: int = 64) -> float:
     return float(mids[k])
 
 
+import string as _string
+
+# deletes exactly [A-Za-z0-9 ]: for ASCII lines, len(line) minus the
+# translated remainder == sum(isalnum) + count(' ') at C speed
+_DEL_ALNUM_SP = str.maketrans("", "", _string.ascii_letters + _string.digits + " ")
+
+
 def line_density(line: str) -> float:
     """Content density of one line: alphanumeric fraction (symbols, rules
     and decorative padding score low — the 'background' class)."""
     if not line:
         return 0.0
-    # == sum(1 for c if c.isalnum() or c == " "): isalnum(' ') is False, so
-    # the space count can be added separately (map(str.isalnum, ...) avoids
-    # the per-char genexpr frame — this runs per character of every line)
-    alnum = sum(map(str.isalnum, line)) + line.count(" ")
+    if line.isascii():
+        # ASCII fast path (the overwhelmingly common case): one translate
+        # instead of a per-char isalnum method call — value-identical,
+        # because ASCII isalnum is exactly [A-Za-z0-9]
+        alnum = len(line) - len(line.translate(_DEL_ALNUM_SP))
+    else:
+        # == sum(1 for c if c.isalnum() or c == " "): isalnum(' ') is False,
+        # so the space count can be added separately (unicode isalnum must
+        # stay authoritative off the ASCII path)
+        alnum = sum(map(str.isalnum, line)) + line.count(" ")
     return alnum / len(line)
 
 
@@ -84,7 +97,9 @@ def adaptive_line_filter(
     hi = np.minimum(np.arange(n) + half + 1, n)
     win_mean = (cs[hi] - cs[lo]) / (hi - lo)
     keep = dens >= (win_mean - density_constant)
-    return [bool(k) or not ln.strip() for k, ln in zip(keep, lines)]
+    # `not ln or ln.isspace()` == `not ln.strip()` with no allocation;
+    # tolist() turns the per-element numpy-bool unboxing into one pass
+    return [k or not ln or ln.isspace() for k, ln in zip(keep.tolist(), lines)]
 
 
 def otsu_line_filter(lines: List[str]) -> List[bool]:
