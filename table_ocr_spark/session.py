@@ -66,36 +66,26 @@ def build_session(
 def python_worker_budget(spark: SparkSession) -> int | None:
     """Concurrent-Python-worker cap for Arrow-UDF stages, or None for no cap.
 
-    In local mode every task slot that evaluates a pandas UDF keeps BOTH a
-    JVM thread and a Python worker hot, so local[N] schedules ~2N busy
-    threads.  On this 32-vCPU box local[16] scales at ~0.95 efficiency while
-    local[32] collapses into kernel-side contention (system CPU 65-95%, ~10×
-    lower per-core Arrow throughput — measured round 1: flagship 5.39 s at
-    local[16] vs 13.75 s at local[32]).  Round 2 fixed this with a session-
-    wide ``spark.task.cpus=2``, which recovered the flagship but halved task
-    slots for pure-JVM stages too (driver bench: minhash 3.83→10.55 s,
-    simhash 0.76→2.08 s).  The scoped fix: keep one core per task and bound
-    concurrency ONLY where the Python workers exist — the partition count of
-    the UDF stage input (partitions bound concurrent Arrow workers; every
-    JVM stage keeps all N slots).
-
-    On a real cluster this corresponds to executor-core sizing / stage-level
-    resource profiles, where the scheduler — not the partition count — owns
-    the worker budget; hence None (no cap) off local mode or when local[N]
-    leaves headroom (N < max(24, host cores)).
+    History of this policy: in round 1 the (then string-heavy) extraction
+    kernel made local[32] collapse into kernel-side contention (system CPU
+    65-95%, flagship 5.39 s at local[16] vs 13.75 s at local[32]), so the
+    budget capped UDF-stage concurrency at host/2 by shrinking the stage's
+    partition count.  Rounds 4-7 cut the Python worker's per-row CPU ~3×
+    (shingle-free hashing upstream, kernel fast paths), and re-measurement
+    on the same 32-vCPU host now shows the OPPOSITE: with the lean kernel
+    the cap serializes work the host can absorb — flagship 3.76 s capped
+    at 16 vs 2.70 s uncapped, salted 5.5 s vs 3.5 s (round 7, min-of-3,
+    local[32]).  The oversubscription cliff the cap guarded against is
+    gone, so the default is now NO cap; the mechanism stays for callers
+    (and hosts) that need one, via ``SPARK_GRAFT_WORKER_BUDGET`` — a
+    cluster submit would instead own this through executor-core sizing /
+    stage-level resource profiles, where it belongs.
     """
-    master = spark.sparkContext.master
-    if not master.startswith("local"):
-        return None
-    host = os.cpu_count() or 4
-    inner = master[len("local") :].strip("[]")
-    if inner in ("", "*"):
-        slots = host
-    else:
+    env = os.environ.get("SPARK_GRAFT_WORKER_BUDGET", "")
+    if env:
         try:
-            slots = int(inner.split(",")[0])
+            v = int(env)
         except ValueError:
             return None
-    if slots >= max(24, host):
-        return max(1, host // 2)
+        return v if v > 0 else None
     return None
