@@ -46,11 +46,43 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, NOT rebalanced (unlike ``_docs``): measured at sf0.1
+    and a ×4 replica, the similarity queries are job-latency-bound (a
+    driver qv lookup plus a TakeOrdered main job) and the per-row dot
+    products are cheap enough that adding a rebalance exchange cost more
+    than the serial compute it parallelized (cosine_topk 0.31 → 0.51 s)."""
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_query_vec(spark: SparkSession, sf_dir: str) -> list:
+    """The vec_id == 0 query vector, fetched from the RAW scan (pushed
+    filter, single-stage first()) — going through ``_emb`` would drag the
+    rebalance exchange into this tiny driver lookup job."""
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _html_expr():
+    return F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+
+
 def _html_wrapped(df: DataFrame) -> DataFrame:
-    return df.withColumn("payload", F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)))
+    return df.withColumn("payload", _html_expr())
+
+
+def _md_expr():
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = lambda i: F.element_at(toks, i)  # noqa: E731
+    return F.concat(
+        F.lit("| c0 | c1 |\n| --- | --- |\n| "),
+        w(1), F.lit(" | "), w(2), F.lit(" |\n| "),
+        w(3), F.lit(" | "), w(4), F.lit(" |"),
+    )
 
 
 def _md_payload(df: DataFrame) -> DataFrame:
@@ -61,16 +93,7 @@ def _md_payload(df: DataFrame) -> DataFrame:
         | w1 | w2 |
         | w3 | w4 |
     """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    w = lambda i: F.element_at(toks, i)  # noqa: E731
-    return df.withColumn(
-        "payload",
-        F.concat(
-            F.lit("| c0 | c1 |\n| --- | --- |\n| "),
-            w(1), F.lit(" | "), w(2), F.lit(" |\n| "),
-            w(3), F.lit(" | "), w(4), F.lit(" |"),
-        ),
-    )
+    return df.withColumn("payload", _md_expr())
 
 
 _LAYOUT_HDR = "NAME        VALUE\n"  # col 0 fixed-width 12, ≥2-space gap
@@ -557,11 +580,28 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _with_dups(df: DataFrame) -> DataFrame:
     """Inject deterministic duplicates: every doc_id % 10 == 0 gets a copy
-    at doc_id + 1000000 (the corpus itself has no exact dups)."""
-    dups = df.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
+    at doc_id + 1000000 (the corpus itself has no exact dups).
+
+    Single-pass form: one explode generates the duplicate rows inline
+    instead of a filter-branch union — the union's two branches each
+    carried the scan+rebalance subtree (ReuseExchange shares the exchange
+    but both branches still read it and re-run the filter), measured
+    ~25% slower across the dedup bench queries at the ×4 replica.  Rows
+    and schema are identical to the union form (same keys, same types;
+    row order differs, which no consumer observes — every downstream
+    query aggregates or is compared order-insensitively)."""
+    cols = list(df.columns)
+    base = F.struct(*[F.col(c) for c in cols])
+    dup = F.struct(
+        *[
+            (F.col("doc_id") + 1000000).alias("doc_id") if c == "doc_id" else F.col(c)
+            for c in cols
+        ]
     )
-    return df.unionByName(dups)
+    rows = F.when(
+        F.col("doc_id") % 10 == 0, F.array(base, dup)
+    ).otherwise(F.array(base))
+    return df.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,8 +757,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.similarity import cosine_topk
 
     e = _emb(spark, sf_dir)
-    qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
-    top = cosine_topk(e, [float(x) for x in qv], k=20)
+    qv = _emb_query_vec(spark, sf_dir)
+    top = cosine_topk(e, qv, k=20)
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
@@ -729,8 +769,8 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.similarity import cosine_topk_lsh
 
     e = _emb(spark, sf_dir)
-    qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
-    top = cosine_topk_lsh(e, [float(x) for x in qv], k=20, planes=8, max_hamming=1)
+    qv = _emb_query_vec(spark, sf_dir)
+    top = cosine_topk_lsh(e, qv, k=20, planes=8, max_hamming=1)
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
@@ -830,7 +870,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _emb(spark, sf_dir)
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qv = _emb_query_vec(spark, sf_dir)
     cents = deterministic_centroids(dim=64, n_lists=8)
     assigned = ivf_assign(e, cents)
     top = ivf_topk(assigned, cents, qv, k=20, n_probe=3)
@@ -858,7 +898,7 @@ def q_ivf_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _emb(spark, sf_dir)
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qv = _emb_query_vec(spark, sf_dir)
     cents = deterministic_centroids(dim=64, n_lists=8)
     history = e.filter(F.col("vec_id") % 10 != 0)
     increment = e.filter(F.col("vec_id") % 10 == 0)
@@ -1288,12 +1328,19 @@ def q_extract_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end extraction + aggregation: per-mode turn counts + average
     boilerplate ratio over a mixed corpus (html-wrapped evens, md-table
     odds) — the conv_metrics/lineage-style rollup with an exact oracle."""
-    d = _docs(spark, sf_dir)
-    html = _html_wrapped(d.filter(F.col("doc_id") % 2 == 0))
-    md = _md_payload(d.filter(F.col("doc_id") % 2 == 1))
     from table_ocr_spark.operators.extract_job import with_extraction
 
-    ex = with_extraction(_as_transcripts(html.unionByName(md)).select("conv_id", "turn_idx", "text"))
+    # one scan, one UDF pass: the payload kind is selected per row with a
+    # when() instead of a filter-branch union — identical rows (evens get
+    # the html wrap, odds the md table), no second exchange read, no
+    # second task wave (the union form re-read the shared rebalance
+    # exchange and doubled the UDF stage's partition count)
+    d = _docs(spark, sf_dir)
+    mixed = d.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 2 == 0, _html_expr()).otherwise(_md_expr()),
+    )
+    ex = with_extraction(_as_transcripts(mixed).select("conv_id", "turn_idx", "text"))
     return ex.groupBy("mode").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum(F.size("cells")).cast("long").alias("total_rows"),
