@@ -67,14 +67,31 @@ def confidence(text: str) -> float:
     return 1.0 - len(text.translate(_PLAIN_DEL)) / len(text)
 
 
+# Memo for the (pure) default recognizer: cell contents are corpus words
+# and repeat heavily (Zipf), so a bounded per-process dict turns most
+# recognitions into one lookup.  Value-keyed on the raw fragment only —
+# never on document/run identity — and cleared at the bound, so memory
+# stays fixed and results are identical by purity.
+_RECOGNIZE_MEMO: dict = {}
+_RECOGNIZE_MEMO_MAX = 100_000
+
+
 def recognize_cleanup(raw: str) -> Recognized:
     """Default recognizer: markup/entity cleanup + plain-char confidence.
     (``confidence`` inlined — this runs once per cell, and the extra
     call frame was measurable at the kernel's cell volume.)"""
+    hit = _RECOGNIZE_MEMO.get(raw)
+    if hit is not None:
+        return hit
     text = cleanup_text(raw)
     if not text:
-        return text, 0.0
-    return text, 1.0 - len(text.translate(_PLAIN_DEL)) / len(text)
+        res = (text, 0.0)
+    else:
+        res = (text, 1.0 - len(text.translate(_PLAIN_DEL)) / len(text))
+    if len(_RECOGNIZE_MEMO) >= _RECOGNIZE_MEMO_MAX:
+        _RECOGNIZE_MEMO.clear()
+    _RECOGNIZE_MEMO[raw] = res
+    return res
 
 
 def recognize_identity(raw: str) -> Recognized:

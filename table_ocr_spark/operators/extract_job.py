@@ -82,12 +82,10 @@ def make_extract_udf(cfg: ExtractorConfig = DEFAULT_CONFIG):
             r = extract_payload(raw, cfg)
             out["clean_text"].append(r.clean_text)
             out["cells"].append(r.cells)
-            out["spans"].append(
-                [
-                    {"row": a, "col": b, "start": s, "end": e, "conf": c}
-                    for a, b, s, e, c in r.spans
-                ]
-            )
+            # kernel span tuples are in SPAN_TYPE field order; Arrow
+            # converts tuples to structs positionally, so the per-span
+            # dict build the old code paid here is pure overhead
+            out["spans"].append(r.spans)
             out["mode"].append(r.mode)
             out["boilerplate_ratio"].append(r.boilerplate_ratio)
         return pd.DataFrame(out)
