@@ -378,7 +378,9 @@ def build_curated(
     return deduped
 
 
-def _sync_banded_index(spark, out_table, index_table, band_fn, key_fn):
+def _sync_banded_index(
+    spark, out_table, index_table, band_fn, key_fn, catchup_full_reband=False
+):
     """Bring an LSH-index sidecar table up to the curated data table's
     current seq: band ONLY the data increments the index does not cover
     yet (``read_changes`` — zero reads of already-indexed files) and
@@ -433,10 +435,28 @@ def _sync_banded_index(spark, out_table, index_table, band_fn, key_fn):
             index_table.append(band_fn(out_table.read(spark)), summary=stamp())
             return
         if ops <= {"append", "compact"}:
-            # compaction rewrites file LAYOUT but preserves every row, so
-            # file-diff change tracking is void while row coverage is
-            # not: band only the live rows whose key the index lacks (one
-            # anti-join on the narrow key column; for a compact-only
+            if catchup_full_reband:
+                # conversation granularity: a conv already in the index
+                # may have gained NEW turns inside the uncovered range —
+                # a bare-key anti-join would skip it and leave its bands
+                # permanently computed from the older, shorter text
+                # (ADVICE r6 #3).  Re-band the whole live set and append
+                # only band rows the index does not hold yet (full-row
+                # anti-join): unchanged convs collapse to zero new rows,
+                # grown convs gain a fresh generation, prior generations
+                # are preserved (extra rows only ADD candidates).
+                fresh = band_fn(out_table.read(spark))
+                existing = index_table.read(spark).select(*fresh.columns)
+                index_table.append(
+                    fresh.join(existing, list(fresh.columns), "left_anti"),
+                    summary=stamp(),
+                )
+                return
+            # turn granularity: a turn's text is immutable, so the cheap
+            # key-level anti-join is exact.  Compaction rewrites file
+            # LAYOUT but preserves every row, so file-diff change
+            # tracking is void while row coverage is not: band only the
+            # live rows whose key the index lacks (for a compact-only
             # range that is zero rows — a metadata-only seq catch-up)
             live, key_col = key_fn(out_table.read(spark))
             unindexed = live.join(
@@ -504,7 +524,9 @@ def _sync_conv_lsh_index(spark, out_table, index_table, k=8, bands=4, shingle_n=
             conv, text="text", key="conv_id", k=k, bands=bands, shingle_n=shingle_n
         )
 
-    _sync_banded_index(spark, out_table, index_table, _band, _key)
+    _sync_banded_index(
+        spark, out_table, index_table, _band, _key, catchup_full_reband=True
+    )
 
 
 def main(argv=None) -> int:
@@ -967,15 +989,25 @@ def main(argv=None) -> int:
             # when a commit newer than our resume base already records
             # input_seq_processed >= our input seq.
             def _guard_concurrent_increment():
+                # Abort when ANY commit newer than our resume base has
+                # consumed input PAST the input base this plan read from
+                # (> after_seq) — not just when it reached our head seq.
+                # A concurrent run that pinned a lower input head (e.g.
+                # in_seq-1) still overlaps our (after_seq, in_seq] range:
+                # its commit means our anti-join frame was resolved
+                # against a pre-race snapshot and appending would land
+                # the overlapping seqs twice (ADVICE r6 #1).  On abort
+                # the rerun re-derives after_seq from the winner.
                 for h in out_table.iter_history_newest_first():
                     if h["seq"] <= after_seq_base:
                         break
                     s = h["summary"]
                     if ("input_seq_processed" in s
-                            and int(s["input_seq_processed"]) >= in_seq):
+                            and int(s["input_seq_processed"]) > after_seq):
                         raise _ConcurrentIncrement(
-                            f"input seq {in_seq} was committed by a "
-                            f"concurrent run (output seq {h['seq']})"
+                            f"input range ({after_seq}, {in_seq}] overlaps a "
+                            f"concurrent run's commit (output seq {h['seq']} "
+                            f"consumed to input seq {s['input_seq_processed']})"
                         )
 
             try:

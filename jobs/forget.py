@@ -68,7 +68,6 @@ def main(argv=None) -> int:
 
     from pyspark.sql import functions as F
 
-    from table_ocr_spark.operators.dedup import LSH_ALGO
     from table_ocr_spark.session import build_session
     from table_ocr_spark.sources.snapshots import SnapshotTable
 
@@ -119,6 +118,22 @@ def main(argv=None) -> int:
         summary["files_rewritten"] = m.get("files_rewritten")
         summary["files_untouched"] = m.get("files_untouched")
 
+        def _carried_algo_tag(index_table):
+            """The algo tag this scrub must stamp: the one the index's
+            rows were actually banded with (latest previously stamped
+            commit), NOT the current constant.  Stamping ``LSH_ALGO`` on
+            a legacy/untagged index would launder it as current — the
+            next curate sync reads the newest stamped commit, sees a
+            matching tag, and skips the forced rebuild, leaving legacy
+            bands that never collide with fresh buckets (ADVICE r6 #2).
+            Returns {} for an untagged index so the merge summary stays
+            tagless and the sync still treats the index as legacy."""
+            for h in index_table.iter_history_newest_first():
+                tag = h["summary"].get("lsh_algo")
+                if tag is not None:
+                    return {"lsh_algo": tag}
+            return {}
+
         idx = SnapshotTable(os.path.join(args.table, "lsh_index"))
         if idx.current_seq() is not None:
             ksrc = spark.createDataFrame([(k,) for k in keys], "_k string")
@@ -129,7 +144,7 @@ def main(argv=None) -> int:
             summary["index_seq"] = idx.merge(
                 spark, ksrc, ["_k"], when_matched="delete",
                 summary={"forget_conv_ids": len(ids), "data_seq": seq,
-                         "lsh_algo": LSH_ALGO},
+                         **_carried_algo_tag(idx)},
             )
         # the conversation-granularity index (curate --conv-near-dedup)
         # holds one row per conv per band keyed by conv_id — scrub the
@@ -140,7 +155,7 @@ def main(argv=None) -> int:
             summary["conv_index_seq"] = cidx.merge(
                 spark, csrc, ["conv_id"], when_matched="delete",
                 summary={"forget_conv_ids": len(ids), "data_seq": seq,
-                         "lsh_algo": LSH_ALGO},
+                         **_carried_algo_tag(cidx)},
             )
 
     if args.expire_keep > 0:

@@ -936,3 +936,137 @@ def test_curate_strip_corpus_min_df(spark, tmp_path, monkeypatch):
     assert cs.filter(F.col("text").contains(banner)).count() == 0
     # non-banner content is untouched (same rows, banner line removed)
     assert cs.count() == plain.count()
+
+
+def test_curate_incremental_overlapping_lower_head_race_aborts(spark, tmp_path, monkeypatch):
+    """A concurrent run that pinned a LOWER input head still overlaps our
+    increment's input range: run A plans against input (1, 3] while run B
+    commits input_seq_processed=2.  The old guard (abort only when the
+    winner reached OUR head seq) let A append the overlapping seq-2 rows
+    a second time; the guard must abort whenever a newer commit consumed
+    past A's input resume base (ADVICE r6 #1)."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources import snapshots as S
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def tx(pdf):
+        pdf = pdf.copy()
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    in_root, out_root = str(tmp_path / "in"), str(tmp_path / "out")
+    in_table = SnapshotTable(in_root)
+    in_table.append(tx(synth.gen_pandas(4, seed=71, max_long=15)))
+    args = ["--input", in_root, "--output", out_root, "--min-quality", "0.0",
+            "--input-snapshot", "--incremental", "--snapshot"]
+    assert C.main(args) == 0  # consumes input seq 1
+    out_table = SnapshotTable(str(tmp_path / "out" / "table"))
+    n1 = out_table.read(spark).count()
+
+    # two more input batches: A will plan against (1, 3]
+    batch2 = synth.gen_pandas(3, seed=72, max_long=15)
+    in_table.append(tx(batch2))          # input seq 2
+    in_table.append(tx(synth.gen_pandas(3, seed=73, max_long=15)))  # seq 3
+
+    orig_append = S.SnapshotTable.append
+    raced = {"fired": False}
+
+    def racing_append(self, df, summary=None, max_retries=5, summary_fn=None,
+                      validate_fn=None):
+        if (self.root == out_table.root and validate_fn is not None
+                and not raced["fired"]):
+            raced["fired"] = True
+            # run B (winner, pinned at the OLDER input head): commits
+            # with input_seq_processed=2 < A's in_seq=3.  B's payload
+            # content does not matter for the guard; commit a schema-
+            # conforming slice of A's own frame to keep it simple.
+            orig_append(
+                SnapshotTable(self.root), df.limit(1),
+                summary={"input_seq_processed": 2, "rows_out": -1},
+            )
+        return orig_append(self, df, summary=summary, max_retries=max_retries,
+                           summary_fn=summary_fn, validate_fn=validate_fn)
+
+    monkeypatch.setattr(S.SnapshotTable, "append", racing_append)
+    assert C.main(args) == 0  # run A: must lose the race and exit cleanly
+    monkeypatch.setattr(S.SnapshotTable, "append", orig_append)
+    assert raced["fired"]
+
+    import json as _json
+    with open(str(tmp_path / "out" / "_curation_summary.json")) as f:
+        s = _json.load(f)
+    assert s.get("increment_already_committed") is True
+
+    # A appended nothing beyond B's single winning row
+    assert out_table.read(spark).count() == n1 + 1
+
+
+def test_conv_index_catchup_rebands_convs_grown_in_uncovered_range(spark, tmp_path, monkeypatch):
+    """The compact-catch-up sync path must not skip a conversation that
+    is already in the conv index but gained NEW turns inside the
+    uncovered range — its bands would stay permanently computed from the
+    older, shorter text (ADVICE r6 #3).  The conv-granularity sync
+    re-bands the live set and appends only band rows the index lacks."""
+    import pandas as pd
+
+    from table_ocr_spark.operators.conv_scope import conv_text
+    from table_ocr_spark.operators.dedup import lsh_banded
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def tx(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True).astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    out_table = SnapshotTable(str(tmp_path / "table"))
+    cidx = SnapshotTable(str(tmp_path / "conv_lsh_index"))
+    t0 = "2031-01-01T00:00:00"
+    out_table.append(tx([
+        ("cgrow", 0, "user", "alpha beta gamma delta", "", t0),
+        ("cgrow", 1, "assistant", "epsilon zeta eta theta", "", t0),
+        ("cother", 0, "user", "one two three four", "", t0),
+    ]))
+    C._sync_conv_lsh_index(spark, out_table, cidx)
+    gen1 = {(r.band, r.bucket) for r in cidx.read(spark)
+            .filter("conv_id = 'cgrow'").collect()}
+    assert gen1  # bootstrap banded the short text
+
+    # the conv GROWS in a later commit, then a compaction voids
+    # file-diff change tracking for the range
+    out_table.append(tx([
+        ("cgrow", 2, "user", "iota kappa lambda mu nu xi omicron pi", "", t0),
+        ("cgrow", 3, "assistant", "rho sigma tau upsilon phi chi psi", "", t0),
+    ]))
+    out_table.compact(spark)
+    C._sync_conv_lsh_index(spark, out_table, cidx)
+
+    # expected: the bands of the FULL grown text are now present
+    full = lsh_banded(
+        conv_text(out_table.read(spark).filter("conv_id = 'cgrow'")
+                  .select("conv_id", "turn_idx", "text")),
+        text="text", key="conv_id",
+    )
+    want = {(r.band, r.bucket) for r in full.collect()}
+    have = {(r.band, r.bucket) for r in cidx.read(spark)
+            .filter("conv_id = 'cgrow'").collect()}
+    assert want <= have, (want, have)
+    # prior generation preserved (extra rows only ADD candidates)
+    assert gen1 <= have
+    # idempotent: a second sync appends nothing
+    n = cidx.read(spark).count()
+    C._sync_conv_lsh_index(spark, out_table, cidx)
+    assert cidx.read(spark).count() == n

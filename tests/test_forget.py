@@ -104,3 +104,58 @@ def test_forget_expire_physically_drops_history(spark, tmp_path, monkeypatch):
     idx = SnapshotTable(str(tmp_path / "out" / "lsh_index"))
     assert any("data_seq" in h["summary"] and h["operation"] == "merge"
                for h in idx.history())
+
+
+def test_forget_carries_legacy_algo_tag_so_sync_still_rebuilds(spark, tmp_path, monkeypatch):
+    """A forget-merge on a LEGACY-tagged index must not stamp the CURRENT
+    lsh_algo constant: that would launder the index as current and the
+    next curate sync would skip the forced rebuild, leaving legacy bands
+    that never collide with freshly banded buckets (ADVICE r6 #2).  The
+    merge carries the index's own previous tag forward; the sync then
+    sees the mismatch and rebuilds."""
+    from table_ocr_spark import session as session_mod
+    from table_ocr_spark import synth
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+    import jobs.forget as FG
+
+    monkeypatch.setattr(session_mod, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    in_table = SnapshotTable(str(tmp_path / "in"))
+    in_table.append(_tx(spark, synth.gen_pandas(5, seed=63, max_long=20)))
+    args = ["--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
+            "--min-quality", "0.0", "--input-snapshot", "--incremental",
+            "--snapshot", "--near-dedup", "0.5"]
+    assert C.main(args) == 0
+
+    data = SnapshotTable(str(tmp_path / "out" / "table"))
+    idx = SnapshotTable(str(tmp_path / "out" / "lsh_index"))
+
+    # simulate a legacy index: rewrite the newest stamped commit's tag
+    # in place (the manifest is the on-disk source of truth the sync walks)
+    seq = idx.current_seq()
+    mpath = idx._snap_path(seq)
+    m = json.loads(open(mpath).read())
+    assert m["summary"]["lsh_algo"]  # was stamped current
+    m["summary"]["lsh_algo"] = "legacy-banding-0"
+    open(mpath, "w").write(json.dumps(m))
+
+    victim = data.read(spark).select("conv_id").first().conv_id
+    assert FG.main(["--table", str(tmp_path / "out"), "--conv-ids", victim]) == 0
+
+    # the merge commit carried the LEGACY tag forward, not the constant
+    newest = next(h for h in idx.iter_history_newest_first()
+                  if "data_seq" in h["summary"])
+    assert newest["summary"]["lsh_algo"] == "legacy-banding-0"
+
+    # and the next sync treats the index as legacy: full rebuild
+    out_table = data
+    n_hist = len(idx.history())
+    C._sync_lsh_index(spark, out_table, idx)
+    newest2 = idx.manifest(idx.current_seq())
+    assert len(idx.history()) == n_hist + 1
+    assert newest2["operation"] == "overwrite"
+    from table_ocr_spark.operators.dedup import LSH_ALGO
+    assert newest2["summary"]["lsh_algo"] == LSH_ALGO
