@@ -198,12 +198,22 @@ def main(argv=None) -> int:
         .parquet(os.path.join(args.output, "shards"))
     )
 
+    degraded = False
+
     def _get(o, defaults):
+        # metrics must never kill a completed write, but a swallowed
+        # Observation failure must not masquerade as real zeros either —
+        # the summary carries metrics_degraded, same contract as
+        # jobs/curate.py (VERDICT r6 "what's wrong" #2)
+        nonlocal degraded
         try:
             got = o.get
-            return got if got else dict(defaults)
+            if got:
+                return got
         except Exception:
-            return dict(defaults)
+            pass
+        degraded = True
+        return dict(defaults)
 
     summary = {
         "input": args.input,
@@ -220,6 +230,8 @@ def main(argv=None) -> int:
         ),
         "wall_ms": int((time.time() - t0) * 1000),
     }
+    if degraded:
+        summary["metrics_degraded"] = True
     with open(os.path.join(args.output, "_prepare_summary.json"), "w") as f:
         json.dump(summary, f, indent=1, default=str)
     print(json.dumps(summary, default=str))

@@ -216,3 +216,27 @@ def test_prepare_reads_curate_snapshot_output(spark, tmp_path, monkeypatch):
         == 0
     )
     assert _shard_digest(head) != _shard_digest(prepared)
+
+
+def test_prepare_summary_flags_degraded_metrics(spark, monkeypatch, curated_dir, tmp_path):
+    """A swallowed Observation failure must not masquerade as real zeros:
+    the summary carries metrics_degraded (same contract as curate;
+    VERDICT r6 'what's wrong' #2).  Forced by making Observation.get
+    raise; the shard write itself must still complete."""
+    from pyspark.sql import Observation
+
+    out = str(tmp_path / "deg")
+    monkeypatch.setattr(
+        Observation, "get",
+        property(lambda self: (_ for _ in ()).throw(RuntimeError("obs down"))),
+    )
+    s = _run(spark, monkeypatch, curated_dir, out, 8)
+    assert s.get("metrics_degraded") is True
+    assert s["rows_out"] == 0  # the default, visibly degraded
+    # the write completed regardless
+    assert glob.glob(os.path.join(out, "shards", "pack_bucket=*", "*.parquet"))
+
+
+def test_prepare_summary_not_degraded_normally(spark, monkeypatch, curated_dir, tmp_path):
+    s = _run(spark, monkeypatch, curated_dir, str(tmp_path / "ok"), 8)
+    assert "metrics_degraded" not in s
