@@ -18,7 +18,7 @@ def build_session(
     app_name: str = "table_ocr_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records: int = 2000,
+    arrow_max_records: int = 8000,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     if cores is None:
@@ -34,10 +34,16 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bound Arrow batch size against multi-MB text payloads:
-        # the per-cell-subprocess analog killer — one Python worker per core,
-        # reused across bounded batches (SURVEY.md §3.4)
+        # Arrow batch sizing: memory is bounded by BYTES (the direct knob,
+        # Spark 4's maxBytesPerBatch — tightened from the 64m default), so
+        # multi-MB text payloads can't blow worker memory no matter the
+        # row count; the record cap is then free to rise for small rows,
+        # where fewer/larger batches amortize the JVM↔Python crossing
+        # (measured r7: flagship 1.86 → 1.77 s at 8000 records; the old
+        # 2000-row cap was the binding constraint for the common small-row
+        # case and redundant protection for the big-row case)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # drop reliable-checkpoint files once their RDDs are GC'd
