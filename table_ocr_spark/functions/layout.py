@@ -100,11 +100,8 @@ def token_boxes(
         if hit is not None:
             return hit
     lo, hi = cfg.min_token_len, cfg.max_token_len
-    out = [
-        (s, e)
-        for s, e in ((m.start(), m.end()) for m in _fused_re(cfg.fuse_token_gap).finditer(line))
-        if lo <= e - s <= hi
-    ]
+    spans = [m.span() for m in _fused_re(cfg.fuse_token_gap).finditer(line)]
+    out = [(s, e) for s, e in spans if lo <= e - s <= hi]
     if _cache is not None:
         _cache[line] = out
     return out
