@@ -55,11 +55,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_query_vec(spark: SparkSession, sf_dir: str) -> list:
-    """The vec_id == 0 query vector, fetched from the RAW scan (pushed
-    filter, single-stage first()) — going through ``_emb`` would drag the
-    rebalance exchange into this tiny driver lookup job."""
+    """The vec_id == 0 query vector: a pushed-filter, single-stage
+    first() over ``_emb`` (which is deliberately not rebalanced — see
+    its docstring), shared by all query-vector consumers."""
     row = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _emb(spark, sf_dir)
         .filter(F.col("vec_id") == 0)
         .select("embedding")
         .first()

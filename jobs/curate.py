@@ -436,6 +436,16 @@ def _sync_banded_index(
             return
         if ops <= {"append", "compact"}:
             if catchup_full_reband:
+                if "append" not in ops:
+                    # compact-only range: layout changed, rows did not —
+                    # no conv can have gained turns, so skip the
+                    # O(corpus) re-band + index anti-join and take the
+                    # same metadata-only seq catch-up as the turn path
+                    index_table.append(
+                        band_fn(out_table.read(spark).limit(0)),
+                        summary=stamp(),
+                    )
+                    return
                 # conversation granularity: a conv already in the index
                 # may have gained NEW turns inside the uncovered range —
                 # a bare-key anti-join would skip it and leave its bands

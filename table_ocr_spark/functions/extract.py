@@ -51,7 +51,11 @@ def classify_mode(text: str, cfg: ExtractorConfig) -> str:
     if markup.looks_like_html(text):
         return MODE_EXPLICIT
     # early-exit count: only "reached sep_min_run?" matters, so stop
-    # scanning lines at the threshold (value-identical decision)
+    # scanning lines at the threshold (value-identical decision; a
+    # non-positive threshold is satisfied by zero candidates, so it must
+    # short-circuit before the loop to preserve `count >= run` semantics)
+    if cfg.sep_min_run <= 0:
+        return MODE_EXPLICIT
     md_candidates = 0
     for ln in text.split("\n"):
         if ln.count("|") >= 2:  # == markup._is_md_candidate, inlined

@@ -154,7 +154,7 @@ def _is_md_rule(line: str) -> bool:
     if "-" not in line or _RULE_CHARSET_RE.match(line) is None:
         return False
     segs = _split_pipe_row(line)
-    return len(segs) >= 1 and all(_MD_RULE_CELL_RE.match(s or "-") for s, _ in segs) and "-" in line
+    return len(segs) >= 1 and all(_MD_RULE_CELL_RE.match(s or "-") for s, _ in segs)
 
 
 def _split_pipe_row(line: str, min_sep: int = 1) -> List[Tuple[str, int]]:

@@ -1009,6 +1009,56 @@ def test_curate_incremental_overlapping_lower_head_race_aborts(spark, tmp_path, 
     assert out_table.read(spark).count() == n1 + 1
 
 
+def test_conv_index_compact_only_catchup_is_metadata_only(spark, tmp_path, monkeypatch):
+    """A compact-ONLY uncovered range rewrites file layout but not rows,
+    so no conversation can have gained turns — the conv-index sync must
+    take the metadata-only seq catch-up (zero appended rows, no read of
+    the existing index, no corpus re-band via the anti-join path)
+    instead of the O(corpus) full re-band reserved for ranges that
+    contain appends."""
+    import pandas as pd
+
+    from table_ocr_spark.sources.catalog import TRANSCRIPT_SCHEMA
+    from table_ocr_spark.sources.snapshots import SnapshotTable
+
+    import jobs.curate as C
+
+    def tx(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True).astype("datetime64[us, UTC]")
+        return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+    out_table = SnapshotTable(str(tmp_path / "table"))
+    cidx = SnapshotTable(str(tmp_path / "conv_lsh_index"))
+    t0 = "2031-01-01T00:00:00"
+    out_table.append(tx([
+        ("ca", 0, "user", "alpha beta gamma delta", "", t0),
+        ("cb", 0, "user", "one two three four", "", t0),
+    ]))
+    C._sync_conv_lsh_index(spark, out_table, cidx)
+    n_before = cidx.read(spark).count()
+    assert n_before  # bootstrap banded the live set
+
+    # compact-only uncovered range
+    out_table.compact(spark)
+
+    # the shortcut never touches the existing index rows
+    real_read = cidx.read
+    def _no_index_read(*a, **kw):
+        raise AssertionError("compact-only catch-up must not read the index")
+    monkeypatch.setattr(cidx, "read", _no_index_read)
+    C._sync_conv_lsh_index(spark, out_table, cidx)
+    monkeypatch.setattr(cidx, "read", real_read)
+
+    # zero rows appended, covered seq advanced (idempotent next sync)
+    assert cidx.read(spark).count() == n_before
+    newest = next(iter(cidx.iter_history_newest_first()))
+    assert int(newest["summary"]["data_seq"]) == out_table.current_seq()
+
+
 def test_conv_index_catchup_rebands_convs_grown_in_uncovered_range(spark, tmp_path, monkeypatch):
     """The compact-catch-up sync path must not skip a conversation that
     is already in the conv index but gained NEW turns inside the

@@ -166,6 +166,17 @@ def test_classify_modes():
     assert classify_mode("just words here", C) == MODE_PASSTHROUGH
 
 
+def test_classify_mode_nonpositive_sep_min_run_is_explicit():
+    # count >= run with run <= 0 holds for ANY text (zero candidates
+    # suffice) — the early-exit loop must preserve that boundary, not
+    # only the default run=2 path
+    cfg0 = ExtractorConfig(sep_min_run=0)
+    assert classify_mode("just words here", cfg0) == MODE_EXPLICIT
+    assert classify_mode(PDF_DOC, cfg0) == MODE_EXPLICIT
+    cfg_neg = ExtractorConfig(sep_min_run=-1)
+    assert classify_mode("just words here", cfg_neg) == MODE_EXPLICIT
+
+
 def test_extract_empty_and_none():
     r = extract_payload("", C)
     assert r.clean_text == "" and r.cells == [] and r.mode == MODE_PASSTHROUGH
