@@ -54,16 +54,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _emb_query_vec(spark: SparkSession, sf_dir: str) -> list:
+def _emb_query_vec(emb: DataFrame) -> list:
     """The vec_id == 0 query vector: a pushed-filter, single-stage
-    first() over ``_emb`` (which is deliberately not rebalanced — see
-    its docstring), shared by all query-vector consumers."""
-    row = (
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()
-    )
+    first() over the caller's ``_emb`` frame — REUSING it avoids a
+    second parquet analysis per similarity query (a measured ~0.1 s of
+    driver time each; the round-start inline form had this shape too)."""
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     return [float(x) for x in row["embedding"]]
 
 
@@ -757,7 +753,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.similarity import cosine_topk
 
     e = _emb(spark, sf_dir)
-    qv = _emb_query_vec(spark, sf_dir)
+    qv = _emb_query_vec(e)
     top = cosine_topk(e, qv, k=20)
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
@@ -769,7 +765,7 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.similarity import cosine_topk_lsh
 
     e = _emb(spark, sf_dir)
-    qv = _emb_query_vec(spark, sf_dir)
+    qv = _emb_query_vec(e)
     top = cosine_topk_lsh(e, qv, k=20, planes=8, max_hamming=1)
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
@@ -870,7 +866,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _emb(spark, sf_dir)
-    qv = _emb_query_vec(spark, sf_dir)
+    qv = _emb_query_vec(e)
     cents = deterministic_centroids(dim=64, n_lists=8)
     assigned = ivf_assign(e, cents)
     top = ivf_topk(assigned, cents, qv, k=20, n_probe=3)
@@ -898,7 +894,7 @@ def q_ivf_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _emb(spark, sf_dir)
-    qv = _emb_query_vec(spark, sf_dir)
+    qv = _emb_query_vec(e)
     cents = deterministic_centroids(dim=64, n_lists=8)
     history = e.filter(F.col("vec_id") % 10 != 0)
     increment = e.filter(F.col("vec_id") % 10 == 0)
